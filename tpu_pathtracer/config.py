@@ -1,0 +1,85 @@
+"""Runtime render configuration.
+
+The reference renderer configures everything at compile time via a macro block
+(reference: renderer/Raytracing.h:11-33) plus a hardcoded scene-name string
+(reference: renderer/Renderer.mm:17-21).  This framework lifts every one of those
+knobs into a runtime dataclass with identical defaults, so a single build serves
+every configuration.
+
+Fields are hashable/static so a ``RenderConfig`` can be passed as a static arg to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class ComparisonMode(enum.IntEnum):
+    """Golden-image comparison modes (reference: renderer/Raytracing.h:27-33)."""
+
+    DISABLED = 0
+    ABSOLUTE_VALUE = 1   # abs(color - ref)
+    REF_TO_COLOR = 2     # max(0, ref - color): visible if output darker than reference
+    COLOR_TO_REF = 3     # max(0, color - ref): visible if reference darker than output
+    LUMINANCE = 4        # red = output brighter, green = reference brighter
+
+
+class NoiseMode(enum.IntEnum):
+    """Random-number supply for the integrator.
+
+    PRNG: counter-based ``jax.random`` — independent samples per pixel, bounce and
+    purpose; bit-reproducible across devices and shardings.  This fixes the
+    reference's seeding reproducibility hole (wall-clock-seeded mt19937_64,
+    reference: renderer/Renderer.mm:109-129).
+
+    TILED: parity mode reproducing the reference's 64x64 float4 noise buffer and
+    its tile-index reuse pattern (reference: renderer/Renderer.mm:102-129,
+    renderer/Shaders.metal:91,135-138), including the correlated reuse of one
+    float4 for light selection, lobe selection and bounce direction.
+    """
+
+    PRNG = 0
+    TILED = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- feature flags (defaults = reference macro block, Raytracing.h:11-33) ---
+    enable_tone_mapping: bool = False      # ENABLE_TONE_MAPPING
+    manual_srgb: bool = False              # MANUAL_SRGB
+    accumulate_image: bool = True          # ACCUMULATE_IMAGE
+    distance_epsilon: float = 1e-4         # DISTANCE_EPSILON
+    angle_epsilon: float = 0.00003807693583  # ANGLE_EPSILON
+    noise_dimensions: int = 64             # NOISE_DIMENSIONS
+    animate_noise: bool = True             # ANIMATE_NOISE
+    max_frames: int = 0                    # MAX_FRAMES (0 = unlimited)
+    max_path_length: int = 8               # MAX_PATH_LENGTH
+    content_scale: float = 0.5             # CONTENT_SCALE
+    comparison_mode: ComparisonMode = ComparisonMode.DISABLED
+    comparison_scale: float = 10.0         # COMPARISON_SCALE
+    spectrum_samples: int = 3              # SPECTRUM_SAMPLES (Spectrum.h:3)
+
+    # --- framework extensions (no reference equivalent) ---
+    noise_mode: NoiseMode = NoiseMode.PRNG
+    # Replicate reference estimator quirks bit-for-bit (see models/bsdf.py and
+    # render/wavefront.py docstrings).  When False, uses the physically
+    # conventional balance-heuristic MIS estimator instead.
+    reference_quirks: bool = True
+    # Samples per pixel per frame (the reference always renders 1 spp/frame).
+    samples_per_frame: int = 1
+    # Intersection backend: "bvh" (default; LBVH + stackless traversal) or
+    # "brute" (O(N*T) Moller-Trumbore, for testing/small scenes).
+    intersector: str = "bvh"
+    # Use the Pallas tile-coherent traversal kernel when on TPU.
+    use_pallas: bool = True
+    # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
+    pdf_floor: float = 1e-20
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+PI = 3.1415926  # reference: renderer/Raytracing.h:18 (note: float, not math.pi)
+IOR_AIR = 1.00029  # initial ray IoR (reference: renderer/Shaders.metal:99)

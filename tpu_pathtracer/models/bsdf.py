@@ -1,0 +1,139 @@
+"""BSDF library: diffuse, mirror, smooth plastic, smooth dielectric.
+
+TPU-native re-implementation of the reference's material switch statements
+(reference: renderer/KernelHelpers.h:56-179).  Where Metal branches per thread on
+``material.materialType``, here every lane computes all four material responses
+and selects — the compute-all-4-select restructuring that avoids divergence on
+the VPU (the four models are a handful of flops each, so redundancy is cheaper
+than any gather/scatter shuffle).
+
+Reference quirks deliberately preserved (gated by ``RenderConfig.reference_quirks``):
+  * the smooth dielectric transmits *straight through* (wO = wI, no refraction
+    bend) and its NEE eval returns bsdf = pdf = 0
+    (reference: renderer/KernelHelpers.h:151-166, 89-104);
+  * NEE eval uses fresnel(eta_out=1.0) while bounce generation uses the ray's
+    tracked current IoR (reference: renderer/KernelHelpers.h:74 vs :137);
+  * for the diffuse lobe, bsdf and pdf are the *same* number cos(theta)/pi
+    (reference: renderer/KernelHelpers.h:78,108,141,171).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import PI
+from ..core.math3d import dot, reflect
+from ..core.sampling import generate_diffuse_bounce
+
+# Material type enum (reference: renderer/Raytracing.h:35-43)
+MATERIAL_DIFFUSE = 0
+MATERIAL_MIRROR = 1
+MATERIAL_SMOOTH_PLASTIC = 2
+MATERIAL_SMOOTH_DIELECTRIC = 3
+MATERIAL_COUNT = 4
+
+MATERIAL_NAMES = ("diffuse", "mirror", "smooth plastic", "smooth dielectric")
+
+
+def fresnel(n, i, eta_out, eta_in):
+    """Unpolarized Fresnel reflectance; returns 1.0 under total internal
+    reflection (reference: renderer/KernelHelpers.h:7-21).
+
+    ``i`` points away from the surface (the reference passes ``-wI``).
+    """
+    eta_scale = eta_out / eta_in
+    cos_theta_i = jnp.clip(dot(n, i), -1.0, 1.0)
+    sin_theta_t_sq = (eta_scale * eta_scale) * (1.0 - cos_theta_i * cos_theta_i)
+    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin_theta_t_sq, 0.0))
+    r_s = (eta_in * cos_theta_i - eta_out * cos_theta_t) / (
+        eta_in * cos_theta_i + eta_out * cos_theta_t
+    )
+    r_p = (eta_in * cos_theta_t - eta_out * cos_theta_i) / (
+        eta_in * cos_theta_t + eta_out * cos_theta_i
+    )
+    return jnp.where(sin_theta_t_sq < 1.0, 0.5 * (r_s * r_s + r_p * r_p), 1.0)
+
+
+def _is_mirror_direction(w_i, w_o, n, angle_epsilon):
+    """|dot(reflect(wI, n), wO) - 1| < eps (reference: renderer/KernelHelpers.h:67)."""
+    return jnp.abs(dot(reflect(w_i, n), w_o) - 1.0) < angle_epsilon
+
+
+def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon):
+    """NEE-side material evaluation -> (bsdf, pdf).
+
+    Equivalent of ``sampleMaterial`` (reference: renderer/KernelHelpers.h:56-114).
+    ``lobe_u`` is the lobe-selection uniform (the reference's noiseSample.y) and
+    must be the same sample later fed to :func:`sample_bounce` for this bounce so
+    the plastic/dielectric lobe choice is consistent within the bounce.
+    """
+    cos_theta = dot(w_o, n)
+    is_mirror_dir = _is_mirror_direction(w_i, w_o, n, angle_epsilon)
+    mirror_bsdf = jnp.where(is_mirror_dir, cos_theta, 0.0)
+
+    diffuse_val = (1.0 / PI) * cos_theta  # bsdf == pdf for the diffuse lobe
+
+    # NEE eval always uses eta_out = 1.0 (reference: renderer/KernelHelpers.h:74,91)
+    f_i = fresnel(n, -w_i, 1.0, ior)
+    take_second_lobe = f_i < lobe_u  # diffuse (plastic) / transmit (dielectric)
+
+    plastic_bsdf = jnp.where(take_second_lobe, diffuse_val, mirror_bsdf)
+    plastic_pdf = jnp.where(take_second_lobe, diffuse_val, 1.0)
+    dielectric_bsdf = jnp.where(take_second_lobe, 0.0, mirror_bsdf)
+    dielectric_pdf = jnp.where(take_second_lobe, 0.0, 1.0)
+
+    bsdf = _select4(mtype, diffuse_val, mirror_bsdf, plastic_bsdf, dielectric_bsdf)
+    pdf = _select4(
+        mtype, diffuse_val, jnp.ones_like(diffuse_val), plastic_pdf, dielectric_pdf
+    )
+    return bsdf, pdf
+
+
+def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior):
+    """Sample the next bounce direction -> (w_o, bsdf, pdf, new_ior).
+
+    Equivalent of ``generateNextBounce`` (reference:
+    renderer/KernelHelpers.h:116-179).  ``dir_u`` is (..., 2) — the reference's
+    noiseSample.zw — used for the cosine-hemisphere warp.
+    """
+    mirror_dir = reflect(w_i, n)
+    diffuse_dir = generate_diffuse_bounce(dir_u, n)
+
+    mirror_cos = dot(mirror_dir, n)
+    diffuse_val = (1.0 / PI) * dot(diffuse_dir, n)
+
+    # Bounce generation uses the ray's tracked IoR as eta_out
+    # (reference: renderer/KernelHelpers.h:137,153).
+    f_i = fresnel(n, -w_i, current_ior, ior)
+    take_second_lobe = f_i < lobe_u
+
+    tsl3 = take_second_lobe[..., None]
+    plastic_dir = jnp.where(tsl3, diffuse_dir, mirror_dir)
+    plastic_bsdf = jnp.where(take_second_lobe, diffuse_val, mirror_cos)
+    plastic_pdf = jnp.where(take_second_lobe, diffuse_val, 1.0)
+
+    dielectric_dir = jnp.where(tsl3, w_i, mirror_dir)  # straight-through transmission
+    dielectric_bsdf = jnp.where(take_second_lobe, 1.0, mirror_cos)
+    dielectric_pdf = jnp.ones_like(diffuse_val)
+    dielectric_ior = jnp.where(take_second_lobe, ior, current_ior)
+
+    one = jnp.ones_like(diffuse_val)
+    w_o = _select4(
+        mtype[..., None], diffuse_dir, mirror_dir, plastic_dir, dielectric_dir
+    )
+    bsdf = _select4(mtype, diffuse_val, mirror_cos, plastic_bsdf, dielectric_bsdf)
+    pdf = _select4(mtype, diffuse_val, one, plastic_pdf, dielectric_pdf)
+    new_ior = _select4(mtype, current_ior, current_ior, current_ior, dielectric_ior)
+    return w_o, bsdf, pdf, new_ior
+
+
+def _select4(mtype, v_diffuse, v_mirror, v_plastic, v_dielectric):
+    return jnp.where(
+        mtype == MATERIAL_DIFFUSE,
+        v_diffuse,
+        jnp.where(
+            mtype == MATERIAL_MIRROR,
+            v_mirror,
+            jnp.where(mtype == MATERIAL_SMOOTH_PLASTIC, v_plastic, v_dielectric),
+        ),
+    )

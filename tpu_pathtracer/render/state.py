@@ -1,0 +1,96 @@
+"""Progressive render state and frame stepping.
+
+The reference's progressive state is a mutable RGBA32F texture plus a host
+``_frameIndex`` counter, silently reset on resize and impossible to checkpoint
+(reference: renderer/Renderer.mm:640-657, renderer/Shaders.metal:233-249).  Here
+it is an explicit, checkpointable pytree — (accum, frame_index, key) — threaded
+functionally through ``render_frame``; buffer donation gives the in-place
+update the texture had.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.camera import Camera
+from ..scene.scene import Scene
+from .wavefront import IntersectFn, render_sample
+
+
+class RenderState(NamedTuple):
+    accum: jnp.ndarray        # (H, W, S) running-mean radiance
+    frame_index: jnp.ndarray  # () int32
+    key: jnp.ndarray          # base PRNG key (folded per frame)
+
+    @property
+    def height(self) -> int:
+        return self.accum.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.accum.shape[1]
+
+
+def init_state(
+    height: int, width: int, seed: int = 0, samples: int = 3
+) -> RenderState:
+    """Fresh progressive state (the reference's drawableSizeWillChange reset,
+    renderer/Renderer.mm:640-657)."""
+    return RenderState(
+        accum=jnp.zeros((height, width, samples), jnp.float32),
+        frame_index=jnp.int32(0),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def accumulate(accum, frame_index, color, accumulate_image: bool):
+    """Running mean: mix(color, stored, frame/(frame+1))
+    (reference: renderer/Shaders.metal:233-249)."""
+    if not accumulate_image:
+        return color
+    factor = frame_index.astype(jnp.float32) / (frame_index.astype(jnp.float32) + 1.0)
+    return color + (accum - color) * jnp.where(frame_index > 0, factor, 0.0)
+
+
+def render_frame(
+    state: RenderState,
+    scene: Scene,
+    cfg: RenderConfig,
+    camera: Camera | None = None,
+    intersect: IntersectFn | None = None,
+) -> RenderState:
+    """One progressive frame: trace cfg.samples_per_frame spp and fold the
+    mean into the accumulator.  Pure; jit with static cfg and donated state."""
+    camera = camera if camera is not None else Camera.reference_default()
+    height, width = state.height, state.width
+    frame_key = jax.random.fold_in(state.key, state.frame_index)
+
+    def one_sample(i, acc):
+        k = jax.random.fold_in(frame_key, i)
+        return acc + render_sample(
+            scene, cfg, camera, height, width, k, state.frame_index, intersect
+        )
+
+    total = jax.lax.fori_loop(
+        0, cfg.samples_per_frame, one_sample,
+        jnp.zeros((height, width, cfg.spectrum_samples), jnp.float32),
+    )
+    color = total / cfg.samples_per_frame
+    new_accum = accumulate(state.accum, state.frame_index, color, cfg.accumulate_image)
+    return RenderState(
+        accum=new_accum, frame_index=state.frame_index + 1, key=state.key
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def render_frame_jit(state: RenderState, scene: Scene, cfg: RenderConfig) -> RenderState:
+    """Jitted progressive step with donated state (the TPU equivalent of the
+    reference's in-place texture update + triple-buffered async submit;
+    JAX's async dispatch provides the CPU/GPU overlap the semaphore managed,
+    reference: renderer/Renderer.mm:16,593-600)."""
+    return render_frame(state, scene, cfg)

@@ -1,0 +1,249 @@
+"""The wavefront path-tracing pipeline.
+
+TPU-native equivalent of the reference's per-frame kernel sequence
+(reference: renderer/Renderer.mm:500-585):
+
+    rayGenerator -> [ intersect -> intersectionHandler -> shadow-intersect
+                      -> lightSamplingHandler ] x MAX_PATH_LENGTH -> accumulateImage
+
+Here the whole frame is ONE jitted function: ray state is a pytree of SoA arrays
+(the reference's 68-byte interleaved ``Ray`` structs become parallel (N,...)
+arrays), the host-unrolled bounce loop becomes ``lax.fori_loop``, dead rays are
+masked (matching the reference's ``maxDistance = -1`` convention,
+renderer/Shaders.metal:119,124), and XLA fuses the shading stages.  Randomness
+is counter-based ``jax.random`` keyed on (frame, bounce), replacing the
+wall-clock-seeded 64x64 noise tiles (renderer/Renderer.mm:109-129).
+
+Estimator notes (all reference-exact when ``cfg.reference_quirks``):
+  * NEE: contribution = emissive * mat.diffuse * throughput * W * bsdf / lightPdf
+    with W = powerHeuristic(lightPdf, materialPdf); mat.diffuse multiplies even
+    for non-diffuse surfaces (renderer/Shaders.metal:166-169).
+  * BSDF-arm MIS on emitter hits: radiance += emissive * throughput * W * mPdf
+    with W = powerHeuristic(mPdf, prevDiffuse * lightPdf) — note the extra *mPdf
+    factor (renderer/Shaders.metal:189-193); with quirks off the factor is
+    dropped (conventional MIS).
+  * A nearest hit closer than DISTANCE_EPSILON kills the path outright
+    (renderer/Shaders.metal:122-126).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import IOR_AIR, NoiseMode, RenderConfig
+from ..core.geometry import interpolate
+from ..core.math3d import dot, length, normalize
+from ..core.sampling import balance_heuristic, barycentric, select_light_index
+from ..models import bsdf as bsdf_lib
+from ..models.camera import Camera, generate_rays
+from ..ops.intersect import Hit, intersect_brute
+from ..scene.scene import Scene
+from .noise import bounce_uniforms, camera_jitter
+
+IntersectFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Hit]
+# (origins (N,3), directions (N,3), active (N,) bool) -> Hit
+
+
+class PathState(NamedTuple):
+    """SoA ray state (the reference's Ray struct, renderer/Raytracing.h:54-69)."""
+
+    origin: jnp.ndarray        # (N, 3)
+    direction: jnp.ndarray     # (N, 3)
+    throughput: jnp.ndarray    # (N, S)
+    radiance: jnp.ndarray      # (N, S)
+    pdf: jnp.ndarray           # (N,)  params.x: previous bounce's material pdf
+    prev_diffuse: jnp.ndarray  # (N,)  params.y: 1.0 if previous bounce was diffuse
+    ior: jnp.ndarray           # (N,)  params.w: current medium IoR
+    alive: jnp.ndarray         # (N,) bool (maxDistance > 0 in the reference)
+
+
+def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
+    def fn(o, d, active):
+        del active  # dense backend cannot skip lanes
+        return intersect_brute(o, d, scene.p0, scene.p1, scene.p2, t_min=t_min)
+
+    return fn
+
+
+def trace_bounce(
+    scene: Scene,
+    cfg: RenderConfig,
+    intersect: IntersectFn,
+    bounce: jnp.ndarray,
+    state: PathState,
+    uniforms: dict,
+) -> PathState:
+    """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
+
+    Mirrors intersectionHandler + lightSamplingHandler
+    (reference: renderer/Shaders.metal:105-231).
+    """
+    eps = cfg.distance_epsilon
+    aeps = cfg.angle_epsilon
+    num = state.origin.shape[0]
+
+    hit = intersect(state.origin, state.direction, state.alive)
+    # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
+    # (reference: renderer/Shaders.metal:122-126 — note the nearest hit is NOT
+    # skipped in favor of the next one; the whole path dies).
+    valid = state.alive & hit.valid & (hit.t >= eps)
+
+    tri = jnp.where(valid, hit.tri, 0)
+    mat = scene.material_id[tri]                     # (N,)
+    m_diffuse = scene.mat_diffuse[mat]               # (N, S)
+    m_emissive = scene.mat_emissive[mat]
+    m_ior = scene.mat_ior[mat]
+    m_type = scene.mat_type[mat]
+
+    uvw = hit.uvw
+    hp, hn = interpolate(
+        scene.p0[tri], scene.p1[tri], scene.p2[tri],
+        scene.n0[tri], scene.n1[tri], scene.n2[tri],
+        uvw,
+    )
+
+    w_i = state.direction
+    lobe_u = uniforms["lobe"]
+
+    # ---- next-event estimation (reference: renderer/Shaders.metal:149-176) ----
+    li = select_light_index(uniforms["light_select"], scene.light_cdf)
+    lw = barycentric(uniforms["light_bary"])                     # (N, 3)
+    lp, ln_ = interpolate(
+        scene.light_p[li, 0], scene.light_p[li, 1], scene.light_p[li, 2],
+        scene.light_n[li, 0], scene.light_n[li, 1], scene.light_n[li, 2],
+        lw,
+    )
+    to_light_full = lp - hp
+    dist = length(to_light_full)
+    to_light = to_light_full / jnp.maximum(dist, 1e-30)[..., None]
+    l_dot_d = -dot(to_light, ln_)
+    dir_ok = (dist >= eps) & (l_dot_d >= aeps)
+    # solid-angle pdf (reference: renderer/KernelHelpers.h:181-190)
+    light_pdf = jnp.where(
+        dir_ok,
+        scene.light_pdf[li] * (dist * dist) / (scene.light_area[li] * l_dot_d),
+        0.0,
+    )
+    nee_bsdf, nee_mpdf = bsdf_lib.eval_material(
+        m_type, m_ior, w_i, to_light, hn, lobe_u, aeps
+    )
+    nee_weight = balance_heuristic(light_pdf, nee_mpdf)
+    light_ok = (
+        valid
+        & (light_pdf > 0.0)
+        & (scene.light_tri[li].astype(jnp.int32) != tri)
+        & (bounce + 1 < cfg.max_path_length)
+    )
+    nee_scale = jnp.where(
+        light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
+    )
+    nee_contrib = (
+        scene.light_emissive[li] * m_diffuse * state.throughput
+        * nee_scale[..., None]
+    )
+    shadow_origin = hp + hn * eps
+    target = scene.light_tri[li].astype(jnp.int32)
+
+    # ---- BSDF-arm MIS when the path hits an emitter ----
+    # (reference: renderer/Shaders.metal:180-197)
+    lti = scene.light_index[tri]
+    is_light = valid & (lti >= 0)
+    lts = jnp.where(is_light, lti, scene.num_lights)  # sentinel row when unused
+    # "lightVertex" is the hit point itself (same triangle, same barycentrics).
+    to_emitter_full = hp - state.origin
+    e_dist = length(to_emitter_full)
+    to_emitter = to_emitter_full / jnp.maximum(e_dist, 1e-30)[..., None]
+    e_cos = -dot(to_emitter, hn)
+    e_ok = (e_dist >= eps) & (e_cos >= aeps)
+    emit_lpdf = jnp.where(
+        e_ok & is_light,
+        scene.light_pdf[lts] * (e_dist * e_dist)
+        / jnp.maximum(scene.light_area[lts] * e_cos, 1e-30),
+        0.0,
+    )
+    emit_lpdf = state.prev_diffuse * emit_lpdf
+    emit_weight = balance_heuristic(state.pdf, emit_lpdf)
+    emit_factor = emit_weight * (state.pdf if cfg.reference_quirks else 1.0)
+    emit_contrib = (
+        m_emissive * state.throughput
+        * jnp.where(is_light, emit_factor, 0.0)[..., None]
+    )
+
+    # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
+    w_o, nb_bsdf, nb_pdf, nb_ior = bsdf_lib.sample_bounce(
+        m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior
+    )
+    safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
+    throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[..., None]
+
+    valid3 = valid[..., None]
+    new_state = PathState(
+        origin=jnp.where(valid3, hp + hn * eps, state.origin),
+        direction=jnp.where(valid3, w_o, state.direction),
+        throughput=jnp.where(valid3, state.throughput * throughput_scale,
+                             state.throughput),
+        radiance=state.radiance + emit_contrib,
+        pdf=jnp.where(valid, nb_pdf, state.pdf),
+        prev_diffuse=jnp.where(
+            valid, (m_type == bsdf_lib.MATERIAL_DIFFUSE).astype(jnp.float32),
+            state.prev_diffuse,
+        ),
+        ior=jnp.where(valid, nb_ior, state.ior),
+        alive=valid,
+    )
+
+    # ---- shadow intersect + NEE resolve (reference: renderer/Shaders.metal:214-231) ----
+    shadow_hit = intersect(shadow_origin, to_light, light_ok)
+    shadow_clear = (
+        light_ok
+        & shadow_hit.valid
+        & (shadow_hit.t >= eps)
+        & (shadow_hit.tri == target)
+    )
+    new_state = new_state._replace(
+        radiance=new_state.radiance
+        + jnp.where(shadow_clear[..., None], nee_contrib, 0.0)
+    )
+    return new_state
+
+
+def render_sample(
+    scene: Scene,
+    cfg: RenderConfig,
+    camera: Camera,
+    height: int,
+    width: int,
+    key: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    intersect: IntersectFn | None = None,
+) -> jnp.ndarray:
+    """Trace one full path-traced sample for every pixel -> (H, W, S) radiance."""
+    if intersect is None:
+        intersect = make_brute_intersector(scene)
+    num = height * width
+
+    cam_key = jax.random.fold_in(key, 0xC0FFEE)
+    jitter = camera_jitter(cfg, cam_key, frame_index, height, width)
+    origins, directions = generate_rays(camera, height, width, jitter)
+
+    state = PathState(
+        origin=origins.reshape(num, 3),
+        direction=directions.reshape(num, 3),
+        throughput=jnp.ones((num, cfg.spectrum_samples), jnp.float32),
+        radiance=jnp.zeros((num, cfg.spectrum_samples), jnp.float32),
+        pdf=jnp.ones((num,), jnp.float32),
+        prev_diffuse=jnp.zeros((num,), jnp.float32),
+        ior=jnp.full((num,), IOR_AIR, jnp.float32),
+        alive=jnp.ones((num,), bool),
+    )
+
+    def body(b, st):
+        uniforms = bounce_uniforms(cfg, key, frame_index, b, height, width)
+        return trace_bounce(scene, cfg, intersect, b, st, uniforms)
+
+    state = jax.lax.fori_loop(0, cfg.max_path_length, body, state)
+    return state.radiance.reshape(height, width, cfg.spectrum_samples)

@@ -1,0 +1,126 @@
+"""Flat SoA scene buffers resident in HBM.
+
+Replaces the reference's five GPU buffers (vertex/index/reference/material/
+lightTriangle, reference: renderer/Renderer.mm:450-454) with one immutable JAX
+pytree.  Triangles are stored fully gathered (three vertex positions + normals
+per triangle) — scenes here are tiny (<= 7k triangles), so trading a little HBM
+for gather-free intersection is the right TPU call.
+
+The light table mirrors the reference builder exactly: per-emissive-triangle
+area = 0.5*|cross|, pdf = area/totalArea, exclusive-prefix cdf, plus a sentinel
+entry {cdf=sum, pdf=1, area=0} used by the CDF walk
+(reference: renderer/Renderer.mm:393-448).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import spectrum as spec
+from .materials import MaterialTable, classify
+from .objmtl import ObjMesh, load_obj
+
+
+class Scene(NamedTuple):
+    # --- triangle geometry, gathered SoA: (T, 3) each ---
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    # --- per-triangle references (reference: TriangleReference, Raytracing.h:106-111) ---
+    material_id: jnp.ndarray     # (T,) int32
+    light_index: jnp.ndarray     # (T,) int32, -1 when not emissive
+    # --- material table (reference: Material, Raytracing.h:98-104) ---
+    mat_diffuse: jnp.ndarray     # (M, S)
+    mat_emissive: jnp.ndarray    # (M, S)
+    mat_ior: jnp.ndarray         # (M,)
+    mat_type: jnp.ndarray        # (M,) int32
+    # --- light table incl. sentinel row (reference: LightTriangle, Raytracing.h:113-123) ---
+    light_emissive: jnp.ndarray  # (L+1, S)
+    light_p: jnp.ndarray         # (L+1, 3, 3) three vertex positions
+    light_n: jnp.ndarray         # (L+1, 3, 3) three vertex normals
+    light_area: jnp.ndarray      # (L+1,)
+    light_pdf: jnp.ndarray       # (L+1,)
+    light_cdf: jnp.ndarray       # (L+1,) exclusive prefix; sentinel = total
+    light_tri: jnp.ndarray       # (L+1,) uint32 triangle index of each light
+
+    @property
+    def num_triangles(self) -> int:
+        return self.p0.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_area.shape[0] - 1
+
+
+def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
+    mats: MaterialTable = classify(mesh.materials)
+
+    tris = mesh.triangles.astype(np.int64)
+    pos, nrm = mesh.positions, mesh.normals
+    p = [pos[tris[:, k]] for k in range(3)]
+    n = [nrm[tris[:, k]] for k in range(3)]
+
+    # --- light table (reference: renderer/Renderer.mm:393-448) ---
+    mat_ids = mesh.material_ids
+    is_emitter = (mats.emissive[mat_ids] > 0.0).any(axis=1)
+    light_tri = np.nonzero(is_emitter)[0]
+    num_lights = len(light_tri)
+
+    light_index = np.full(len(tris), -1, np.int32)
+    light_index[light_tri] = np.arange(num_lights, dtype=np.int32)
+
+    lp = np.stack([p[0][light_tri], p[1][light_tri], p[2][light_tri]], axis=1)
+    ln = np.stack([n[0][light_tri], n[1][light_tri], n[2][light_tri]], axis=1)
+    cross = np.cross(lp[:, 1] - lp[:, 0], lp[:, 2] - lp[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=1)
+    total_area = area.sum() if num_lights else 1.0
+    pdf = area / total_area
+    cdf = np.concatenate([[0.0], np.cumsum(pdf)[:-1]]) if num_lights else np.zeros(0)
+    l_emissive = mats.emissive[mat_ids[light_tri]]
+
+    # sentinel row {cdf = sum(pdf), pdf = 1, area = 0}
+    def with_sentinel(arr, sentinel):
+        return np.concatenate([arr, np.asarray([sentinel], arr.dtype)], axis=0)
+
+    light_emissive = np.concatenate(
+        [l_emissive, np.zeros((1, 3), np.float32)], axis=0
+    )
+    light_p = np.concatenate([lp, np.zeros((1, 3, 3), np.float32)], axis=0)
+    light_n = np.concatenate([ln, np.zeros((1, 3, 3), np.float32)], axis=0)
+    light_area = with_sentinel(area.astype(np.float32), 0.0)
+    light_pdf = with_sentinel(pdf.astype(np.float32), 1.0)
+    light_cdf = with_sentinel(
+        cdf.astype(np.float32), np.float32(pdf.sum()) if num_lights else 1.0
+    )
+    light_tri_idx = with_sentinel(light_tri.astype(np.uint32), 0)
+
+    up = lambda rgb: spec.from_rgb(jnp.asarray(rgb, jnp.float32), samples)
+
+    return Scene(
+        p0=jnp.asarray(p[0]), p1=jnp.asarray(p[1]), p2=jnp.asarray(p[2]),
+        n0=jnp.asarray(n[0]), n1=jnp.asarray(n[1]), n2=jnp.asarray(n[2]),
+        material_id=jnp.asarray(mat_ids, jnp.int32),
+        light_index=jnp.asarray(light_index),
+        mat_diffuse=up(mats.diffuse),
+        mat_emissive=up(mats.emissive),
+        mat_ior=jnp.asarray(mats.ior),
+        mat_type=jnp.asarray(mats.mtype),
+        light_emissive=up(light_emissive),
+        light_p=jnp.asarray(light_p),
+        light_n=jnp.asarray(light_n),
+        light_area=jnp.asarray(light_area),
+        light_pdf=jnp.asarray(light_pdf),
+        light_cdf=jnp.asarray(light_cdf),
+        light_tri=jnp.asarray(light_tri_idx),
+    )
+
+
+def load_scene(path: str, samples: int = 3) -> Scene:
+    """OBJ path -> device-ready Scene."""
+    return build_scene(load_obj(path), samples=samples)

@@ -1,0 +1,84 @@
+"""Golden-image comparison.
+
+The reference compares against Mitsuba-rendered EXRs visually, via four blit
+shader modes with a x10 gain (reference: renderer/Shaders.metal:53-66,
+renderer/Raytracing.h:27-33).  This module provides those modes as array ops
+plus the numeric pass/fail metrics the reference never had.
+
+Caveat discovered while building: the bundled golden EXRs contain Mitsuba 0.5's
+logo banner burned into the bottom-right corner (a patch of value exactly
+1024.0, rows ~590-594, cols ~687-794 at 800x600).  :func:`golden_mask` excludes
+it (scaled to the comparison resolution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ComparisonMode
+
+# Banner bounds in the 800x600 goldens (fractional, so they scale).
+_BANNER_Y0, _BANNER_X0 = 588.0 / 600.0, 685.0 / 800.0
+
+
+def golden_mask(height: int, width: int) -> np.ndarray:
+    """(H, W) bool mask: True where the golden pixel is trustworthy."""
+    mask = np.ones((height, width), bool)
+    mask[int(_BANNER_Y0 * height) :, int(_BANNER_X0 * width) :] = False
+    return mask
+
+
+def downsample(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Integer-factor box downsample of (H0, W0, C) to (height, width, C)."""
+    h0, w0 = img.shape[:2]
+    if (h0, w0) == (height, width):
+        return img
+    if h0 % height or w0 % width:
+        raise ValueError(f"{(h0, w0)} not an integer multiple of {(height, width)}")
+    return img.reshape(
+        height, h0 // height, width, w0 // width, *img.shape[2:]
+    ).mean(axis=(1, 3))
+
+
+def metrics(image: np.ndarray, golden: np.ndarray, mask: np.ndarray | None = None):
+    """RMSE / relative-MSE / mean-ratio between (H, W, C) arrays."""
+    image = np.asarray(image, np.float64)
+    golden = np.asarray(golden, np.float64)
+    if mask is None:
+        mask = golden_mask(*image.shape[:2])
+    m = mask[..., None] & np.isfinite(golden) & np.isfinite(image)
+    diff = np.where(m, image - golden, 0.0)
+    n = m.sum()
+    mse = (diff**2).sum() / n
+    rel_mse = ((diff**2) / (golden**2 + 1e-2)).sum() / n
+    mean_ratio = np.where(m, image, 0.0).sum() / max(np.where(m, golden, 0.0).sum(), 1e-12)
+    return {
+        "rmse": float(np.sqrt(mse)),
+        "rel_mse": float(rel_mse),
+        "mean_ratio": float(mean_ratio),
+    }
+
+
+def comparison_image(
+    color: np.ndarray,
+    reference: np.ndarray,
+    mode: ComparisonMode,
+    scale: float = 10.0,
+) -> np.ndarray:
+    """The blit shader's four diff modes (reference: renderer/Shaders.metal:53-66)."""
+    if mode == ComparisonMode.DISABLED:
+        return color
+    if mode == ComparisonMode.ABSOLUTE_VALUE:
+        return np.abs(color - reference) * scale
+    if mode == ComparisonMode.REF_TO_COLOR:
+        return np.maximum(0.0, reference - color) * scale
+    if mode == ComparisonMode.COLOR_TO_REF:
+        return np.maximum(0.0, color - reference) * scale
+    if mode == ComparisonMode.LUMINANCE:
+        lum_c = color[..., :3].mean(axis=-1)  # dot(c, 1/3) per the reference
+        lum_r = reference[..., :3].mean(axis=-1)
+        out = np.zeros((*color.shape[:2], 3), color.dtype)
+        out[..., 0] = np.maximum(0.0, lum_c - lum_r) * scale
+        out[..., 1] = np.maximum(0.0, lum_r - lum_c) * scale
+        return out
+    raise ValueError(f"unknown comparison mode {mode}")
