@@ -1,0 +1,58 @@
+"""Golden-image integration tests: numeric RMSE vs the Mitsuba ground truths.
+
+This is the quantitative version of the reference's on-screen comparison modes
+(reference: renderer/Shaders.metal:53-66): thresholds cover path-tracer noise at
+the test spp plus the reference-vs-Mitsuba estimator gap (SURVEY.md §7d).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.io.exr import read_exr
+from tpu_pathtracer.render import init_state, render_frame_jit
+from tpu_pathtracer.scene import golden_path, load_scene, scene_path
+from tpu_pathtracer.utils.compare import downsample, metrics
+
+H, W = 75, 100  # 600/8, 800/8
+
+
+def _render(scene_name: str, depth: int, spp: int, **cfg_kw):
+    scene = load_scene(scene_path(scene_name))
+    cfg = RenderConfig(samples_per_frame=spp, max_path_length=depth, **cfg_kw)
+    state = init_state(H, W)
+    state = render_frame_jit(state, scene, cfg)
+    return np.asarray(state.accum)
+
+
+def _golden(scene_name: str, depth: int):
+    gold, _ = read_exr(golden_path(scene_name, depth))
+    return downsample(gold, H, W)
+
+
+@pytest.mark.parametrize("depth", [2, 8])
+def test_cornellbox_matches_mitsuba(depth):
+    img = _render("cornellbox", depth, spp=48)
+    m = metrics(img, _golden("cornellbox", depth))
+    assert np.isfinite(img).all()
+    assert m["rel_mse"] < 0.05, m
+    assert 0.95 < m["mean_ratio"] < 1.05, m
+
+
+def test_whitebox_direct():
+    img = _render("white-box", 2, spp=48)
+    m = metrics(img, _golden("white-box", 2))
+    assert m["rel_mse"] < 0.05, m
+    assert 0.95 < m["mean_ratio"] < 1.05, m
+
+
+def test_quirk_free_estimator_also_matches():
+    img = _render("cornellbox", 8, spp=48, reference_quirks=False)
+    m = metrics(img, _golden("cornellbox", 8))
+    assert m["rel_mse"] < 0.05, m
+
+
+def test_deterministic_given_seed():
+    a = _render("cornellbox", 2, spp=2)
+    b = _render("cornellbox", 2, spp=2)
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer.core import sampling
+from tpu_pathtracer.core.math3d import dot, length
+
+
+def test_halton_reference_quirk():
+    # The reference accumulates before dividing, so the first digit has
+    # weight 1.0: halton(1, 2) == 1.0 (not the textbook 0.5).
+    assert float(sampling.halton(jnp.uint32(1), 2)) == 1.0
+    # halton(5, 2): digits (lsb first) 1,0,1 -> 1*1 + 0*0.5 + 1*0.25
+    assert float(sampling.halton(jnp.uint32(5), 2)) == 1.25
+    assert float(sampling.halton(jnp.uint32(0), 2)) == 0.0
+
+
+def test_van_der_corput_reference_quirk():
+    # baseInv squares each iteration: vdc(3, 2) = 1*0.5 + 1*0.25 = 0.75
+    assert float(sampling.van_der_corput(jnp.uint32(3), 2)) == 0.75
+    # vdc(7,2) = 0.5 + 0.25 + 0.0625
+    assert float(sampling.van_der_corput(jnp.uint32(7), 2)) == 0.8125
+
+
+def test_balance_heuristic_is_power2():
+    f, g = jnp.float32(0.3), jnp.float32(0.7)
+    expected = 0.09 / (0.09 + 0.49)
+    assert np.isclose(float(sampling.balance_heuristic(f, g)), expected, rtol=1e-6)
+    assert float(sampling.balance_heuristic(jnp.float32(1.0), jnp.float32(0.0))) == 1.0
+
+
+def test_barycentric_valid_and_uniform():
+    key = jax.random.PRNGKey(0)
+    smp = jax.random.uniform(key, (4096, 2))
+    w = np.asarray(sampling.barycentric(smp))
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-6)
+    assert (w >= 0).all()
+    # uniform area sampling -> mean weight 1/3 per vertex
+    assert np.allclose(w.mean(0), 1.0 / 3.0, atol=0.02)
+
+
+def test_orthonormal_basis():
+    key = jax.random.PRNGKey(1)
+    n = jax.random.normal(key, (512, 3))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    u, v = sampling.build_orthonormal_basis(n)
+    assert np.allclose(np.asarray(length(u)), 1.0, atol=1e-5)
+    assert np.allclose(np.asarray(length(v)), 1.0, atol=1e-5)
+    for a, b in ((u, v), (u, n), (v, n)):
+        assert np.abs(np.asarray(dot(a, b))).max() < 1e-5
+
+
+def test_diffuse_bounce_cosine_distribution():
+    key = jax.random.PRNGKey(2)
+    smp = jax.random.uniform(key, (200_000, 2))
+    n = jnp.array([0.0, 0.0, 1.0])
+    d = sampling.generate_diffuse_bounce(smp, jnp.broadcast_to(n, smp.shape[:1] + (3,)))
+    cos = np.asarray(d[:, 2])
+    assert (cos >= 0).all()
+    # cosine-weighted hemisphere: E[cos] = 2/3
+    assert np.isclose(cos.mean(), 2.0 / 3.0, atol=0.01)
+    # azimuthal symmetry
+    assert abs(np.asarray(d[:, 0]).mean()) < 0.01
+    assert abs(np.asarray(d[:, 1]).mean()) < 0.01
+
+
+def test_select_light_index_matches_linear_walk():
+    # Exclusive-prefix cdf with sentinel, as built by the light-table builder.
+    pdf = np.array([0.125, 0.5, 0.25, 0.125], np.float32)
+    cdf = np.concatenate([[0.0], np.cumsum(pdf)]).astype(np.float32)  # len 5
+
+    def linear_walk(xi):  # reference: renderer/KernelHelpers.h:49-54
+        index = 0
+        while index < len(pdf) and cdf[index + 1] <= xi:
+            index += 1
+        return index
+
+    xs = np.linspace(0.0, 0.999, 77).astype(np.float32)
+    got = np.asarray(sampling.select_light_index(jnp.asarray(xs), jnp.asarray(cdf)))
+    expected = np.array([linear_walk(x) for x in xs])
+    assert (got == expected).all()
+    assert (got < len(pdf)).all()
+
+
+def test_triangle_sample_pdf():
+    v = sampling.triangle_sample_pdf(
+        jnp.float32(2.0), jnp.float32(0.5), jnp.float32(3.0)
+    )
+    assert np.isclose(float(v), 9.0 / 1.0, rtol=1e-6)
