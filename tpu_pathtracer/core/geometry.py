@@ -1,4 +1,4 @@
-"""Vertex interpolation and triangle geometry helpers.
+"""Vertex interpolation and triangle geometry helpers (component-major).
 
 Reference: renderer/KernelHelpers.h:23-47 (interpolate) and the light-table area
 math in renderer/Renderer.mm:408.
@@ -15,12 +15,10 @@ def interpolate(p0, p1, p2, n0, n1, n2, uvw):
     """Barycentric position/normal interpolation; the normal is re-normalized
     (reference: renderer/KernelHelpers.h:23-37).
 
-    ``uvw``: (..., 3) weights on the three vertices; positions/normals are
-    (..., 3).
+    ``p*``/``n*``: (3, N) vertex positions/normals; ``uvw``: (3, N) weights.
+    Returns (position (3, N), normal (3, N)).
     """
-    w0 = uvw[..., 0:1]
-    w1 = uvw[..., 1:2]
-    w2 = uvw[..., 2:3]
+    w0, w1, w2 = uvw[0][None], uvw[1][None], uvw[2][None]
     pos = p0 * w0 + p1 * w1 + p2 * w2
     nrm = normalize(n0 * w0 + n1 * w1 + n2 * w2)
     return pos, nrm

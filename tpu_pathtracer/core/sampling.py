@@ -71,47 +71,52 @@ def balance_heuristic(f_pdf: jnp.ndarray, g_pdf: jnp.ndarray) -> jnp.ndarray:
 
 
 def barycentric(smp: jnp.ndarray) -> jnp.ndarray:
-    """Uniform triangle warp: (..., 2) samples -> (..., 3) barycentric weights
+    """Uniform triangle warp: (2, N) samples -> (3, N) barycentric weights
     (reference: renderer/Raytracing.h:182-187)."""
-    r1 = jnp.sqrt(smp[..., 0])
-    r2 = smp[..., 1]
-    return jnp.stack([1.0 - r1, r1 * (1.0 - r2), r1 * r2], axis=-1)
+    r1 = jnp.sqrt(smp[0])
+    r2 = smp[1]
+    return jnp.stack([1.0 - r1, r1 * (1.0 - r2), r1 * r2], axis=0)
 
 
 def build_orthonormal_basis(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Branchless pixar-style ONB, matching the reference's two-branch variant
-    exactly (reference: renderer/Raytracing.h:189-205)."""
-    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    """Branchless pixar-style ONB on (3, N) normals, matching the reference's
+    two-branch variant exactly (reference: renderer/Raytracing.h:189-205)."""
+    nx, ny, nz = n[0], n[1], n[2]
     neg = nz < 0.0
     a = 1.0 / jnp.where(neg, 1.0 - nz, 1.0 + nz)
     b = nx * ny * a
-    # negative-z branch
-    u_neg = jnp.stack([1.0 - nx * nx * a, -b, nx], axis=-1)
-    v_neg = jnp.stack([b, ny * ny * a - 1.0, -ny], axis=-1)
-    # positive-z branch (b is negated there)
-    u_pos = jnp.stack([1.0 - nx * nx * a, -b, -nx], axis=-1)
-    v_pos = jnp.stack([-b, 1.0 - ny * ny * a, -ny], axis=-1)
-    neg = neg[..., None]
-    return jnp.where(neg, u_neg, u_pos), jnp.where(neg, v_neg, v_pos)
+    # u: only the z component differs between branches
+    u = jnp.stack([1.0 - nx * nx * a, -b, jnp.where(neg, nx, -nx)], axis=0)
+    v = jnp.stack(
+        [
+            jnp.where(neg, b, -b),
+            jnp.where(neg, ny * ny * a - 1.0, 1.0 - ny * ny * a),
+            -ny,
+        ],
+        axis=0,
+    )
+    return u, v
 
 
 def align_with_normal(
     n: jnp.ndarray, cos_theta: jnp.ndarray, phi: jnp.ndarray
 ) -> jnp.ndarray:
-    """Spherical-to-world around a normal (reference: renderer/Raytracing.h:207-216)."""
+    """Spherical-to-world around (3, N) normals
+    (reference: renderer/Raytracing.h:207-216)."""
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     u, v = build_orthonormal_basis(n)
-    ct, st, sph = cos_theta[..., None], sin_theta[..., None], phi[..., None]
-    return (u * jnp.cos(sph) + v * jnp.sin(sph)) * st + n * ct
+    return (u * jnp.cos(phi)[None] + v * jnp.sin(phi)[None]) * sin_theta[None] + (
+        n * cos_theta[None]
+    )
 
 
 def generate_diffuse_bounce(smp: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Cosine-hemisphere bounce (reference: renderer/Raytracing.h:218-223).
 
-    ``smp`` is (..., 2): smp[...,1] -> cos(theta), smp[...,0] -> phi.
+    ``smp`` is (2, N): smp[1] -> cos(theta), smp[0] -> phi; ``n`` is (3, N).
     """
-    cos_theta = jnp.sqrt(smp[..., 1])
-    phi = smp[..., 0] * (PI * 2.0)
+    cos_theta = jnp.sqrt(smp[1])
+    phi = smp[0] * (PI * 2.0)
     return align_with_normal(n, cos_theta, phi)
 
 

@@ -60,7 +60,8 @@ def _is_mirror_direction(w_i, w_o, n, angle_epsilon):
 
 
 def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon):
-    """NEE-side material evaluation -> (bsdf, pdf).
+    """NEE-side material evaluation -> (bsdf, pdf), all batches (N,)-shaped
+    with (3, N) direction/normal arrays.
 
     Equivalent of ``sampleMaterial`` (reference: renderer/KernelHelpers.h:56-114).
     ``lobe_u`` is the lobe-selection uniform (the reference's noiseSample.y) and
@@ -93,8 +94,9 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior):
     """Sample the next bounce direction -> (w_o, bsdf, pdf, new_ior).
 
     Equivalent of ``generateNextBounce`` (reference:
-    renderer/KernelHelpers.h:116-179).  ``dir_u`` is (..., 2) — the reference's
-    noiseSample.zw — used for the cosine-hemisphere warp.
+    renderer/KernelHelpers.h:116-179).  ``dir_u`` is (2, N) — the reference's
+    noiseSample.zw — used for the cosine-hemisphere warp; ``w_i``/``n`` are
+    (3, N); returns ((3, N) w_o, (N,) bsdf, (N,) pdf, (N,) new_ior).
     """
     mirror_dir = reflect(w_i, n)
     diffuse_dir = generate_diffuse_bounce(dir_u, n)
@@ -107,7 +109,7 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior):
     f_i = fresnel(n, -w_i, current_ior, ior)
     take_second_lobe = f_i < lobe_u
 
-    tsl3 = take_second_lobe[..., None]
+    tsl3 = take_second_lobe[None]
     plastic_dir = jnp.where(tsl3, diffuse_dir, mirror_dir)
     plastic_bsdf = jnp.where(take_second_lobe, diffuse_val, mirror_cos)
     plastic_pdf = jnp.where(take_second_lobe, diffuse_val, 1.0)
@@ -119,7 +121,7 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior):
 
     one = jnp.ones_like(diffuse_val)
     w_o = _select4(
-        mtype[..., None], diffuse_dir, mirror_dir, plastic_dir, dielectric_dir
+        mtype[None], diffuse_dir, mirror_dir, plastic_dir, dielectric_dir
     )
     bsdf = _select4(mtype, diffuse_val, mirror_cos, plastic_bsdf, dielectric_bsdf)
     pdf = _select4(mtype, diffuse_val, one, plastic_pdf, dielectric_pdf)

@@ -12,6 +12,10 @@ intersection library on TPU, so this framework implements its own:
   * ``accel.traverse`` — LBVH + stackless traversal (see accel/), the production
     path.
 
+TPU layout note: all hot arithmetic runs on (N, C) component planes — x, y, z
+as separate arrays — never on (..., 3)-trailing vectors, which would fill only
+3 of 128 VPU lanes per op.
+
 Hit convention: barycentric (u, v) weight vertices 1 and 2; position =
 (1-u-v)*p0 + u*p1 + v*p2.  Misses have t = +inf and tri = 0.
 """
@@ -23,8 +27,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.math3d import cross, dot
-
 
 class Hit(NamedTuple):
     t: jnp.ndarray     # (N,) float32, +inf on miss
@@ -34,28 +36,51 @@ class Hit(NamedTuple):
 
     @property
     def uvw(self) -> jnp.ndarray:
-        """(N, 3) interpolation weights on (p0, p1, p2)."""
-        return jnp.stack([1.0 - self.u - self.v, self.u, self.v], axis=-1)
+        """(3, N) interpolation weights on (p0, p1, p2), component-major."""
+        return jnp.stack([1.0 - self.u - self.v, self.u, self.v], axis=0)
 
     @property
     def valid(self) -> jnp.ndarray:
         return jnp.isfinite(self.t)
 
 
-def moller_trumbore(o, d, p0, e1, e2, t_min: float = 0.0):
-    """All-pairs Moller-Trumbore: rays (N,3) x triangles (C,3) -> (N,C) t/u/v.
+def _components(a: jnp.ndarray):
+    """Split a (3, N) component-major vector array."""
+    return a[0], a[1], a[2]
 
-    Double-sided (the reference configures MPS with no culling,
-    renderer/Renderer.mm:465).
+
+def moller_trumbore_planes(o, d, tri_planes, t_min: float = 0.0):
+    """All-pairs Moller-Trumbore on component planes.
+
+    Args:
+      o, d: tuples of three (N, 1) ray component arrays.
+      tri_planes: tuple of nine (1, C) triangle component arrays
+        (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z).
+      t_min: minimum accepted hit distance (exclusive).
+
+    Returns (t, u, v): (N, C) arrays, t = +inf where no hit.  Double-sided
+    (the reference configures MPS with no culling, renderer/Renderer.mm:465).
     """
-    pvec = cross(d[:, None, :], e2[None, :, :])          # (N, C, 3)
-    det = dot(e1[None], pvec)                            # (N, C)
+    ox, oy, oz = o
+    dx, dy, dz = d
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = tri_planes
+
+    # pvec = cross(d, e2)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - p0[None, :, :]
-    u = dot(tvec, pvec) * inv_det
-    qvec = cross(tvec, e1[None, :, :])
-    v = dot(d[:, None, :], qvec) * inv_det
-    t = dot(e2[None], qvec) * inv_det
+    tx = ox - p0x
+    ty = oy - p0y
+    tz = oz - p0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = cross(tvec, e1)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (
         (det != 0.0)
         & (u >= 0.0)
@@ -64,6 +89,32 @@ def moller_trumbore(o, d, p0, e1, e2, t_min: float = 0.0):
         & (t > t_min)
     )
     return jnp.where(ok, t, jnp.inf), u, v
+
+
+def moller_trumbore(o, d, p0, e1, e2, t_min: float = 0.0):
+    """(3,N) rays x (3,C) triangles -> (N,C) t/u/v.  Thin wrapper over the
+    component-plane kernel."""
+    ov = tuple(c[:, None] for c in _components(o))
+    dv = tuple(c[:, None] for c in _components(d))
+    tp = tuple(
+        c[None, :] for arr in (p0, e1, e2) for c in _components(arr)
+    )
+    return moller_trumbore_planes(ov, dv, tp, t_min)
+
+
+def triangle_planes(p0, p1, p2, chunk: int):
+    """Pre-chunked (num_chunks, chunk) component planes for the brute scan.
+    Padding triangles are degenerate (det == 0 -> never hit)."""
+    num_tris = p0.shape[1]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pad = (-num_tris) % chunk
+    planes = []
+    for arr in (p0, e1, e2):
+        for c in _components(arr):
+            c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) if pad else c
+            planes.append(c.reshape(-1, chunk))
+    return tuple(planes), (num_tris + pad) // chunk
 
 
 def intersect_brute(
@@ -76,50 +127,59 @@ def intersect_brute(
     chunk: int = 256,
 ) -> Hit:
     """Nearest-hit over all triangles, scanning triangle chunks to keep the
-    (N, chunk) intermediates bounded."""
-    num_tris = p0.shape[0]
-    e1 = p1 - p0
-    e2 = p2 - p0
+    (N, chunk) intermediates bounded.
 
-    chunk = min(chunk, max(num_tris, 1))
-    pad = (-num_tris) % chunk
-    if pad:
-        padv = jnp.zeros((pad, 3), p0.dtype)
-        p0c = jnp.concatenate([p0, padv])
-        e1c = jnp.concatenate([e1, padv])  # degenerate -> det == 0 -> miss
-        e2c = jnp.concatenate([e2, padv])
-    else:
-        p0c, e1c, e2c = p0, e1, e2
-    num_chunks = (num_tris + pad) // chunk
-    p0c = p0c.reshape(num_chunks, chunk, 3)
-    e1c = e1c.reshape(num_chunks, chunk, 3)
-    e2c = e2c.reshape(num_chunks, chunk, 3)
+    ``o``/``d``: (3, N) rays; ``p0``/``p1``/``p2``: (3, T) triangle vertices.
+    """
+    num_tris = p0.shape[1]
+    # lane-align: one chunk of the next multiple of 128 when the scene is small
+    chunk = min(chunk, -(-num_tris // 128) * 128)
+    planes, num_chunks = triangle_planes(p0, p1, p2, chunk)
     base = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
 
-    n = o.shape[0]
+    n = o.shape[1]
+    ov = tuple(c[:, None] for c in _components(o))
+    dv = tuple(c[:, None] for c in _components(d))
     init = (
         jnp.full((n,), jnp.inf, jnp.float32),
         jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
     )
 
     def body(carry, chunk_data):
-        best_t, best_i, best_u, best_v = carry
-        cp0, ce1, ce2, cbase = chunk_data
-        t, u, v = moller_trumbore(o, d, cp0, ce1, ce2, t_min)
-        local = jnp.argmin(t, axis=1)                          # (N,)
-        rows = jnp.arange(n)
-        ct = t[rows, local]
+        best_t, best_i = carry
+        cbase = chunk_data[-1]
+        tp = tuple(p[None, :] for p in chunk_data[:-1])
+        t, _, _ = moller_trumbore_planes(ov, dv, tp, t_min)
+        local = jnp.argmin(t, axis=1).astype(jnp.int32)
+        ct = jnp.min(t, axis=1)
         better = ct < best_t
         return (
             jnp.where(better, ct, best_t),
-            jnp.where(better, cbase + local.astype(jnp.int32), best_i),
-            jnp.where(better, u[rows, local], best_u),
-            jnp.where(better, v[rows, local], best_v),
+            jnp.where(better, cbase + local, best_i),
         ), None
 
-    (best_t, best_i, best_u, best_v), _ = jax.lax.scan(
-        body, init, (p0c, e1c, e2c, base)
-    )
-    return Hit(t=best_t, tri=best_i, u=best_u, v=best_v)
+    if num_chunks == 1:
+        (best_t, best_i), _ = body(
+            init, tuple(p[0] for p in planes) + (jnp.int32(0),)
+        )
+    else:
+        (best_t, best_i), _ = jax.lax.scan(body, init, (*planes, base))
+    return finalize_hit(o, d, p0, p1, p2, best_t, best_i, t_min)
+
+
+def finalize_hit(o, d, p0, p1, p2, best_t, best_i, t_min: float = 0.0) -> Hit:
+    """Recompute (u, v) for each ray's single best triangle.
+
+    Cheaper than carrying u/v through the chunk scan: one 9-component gather
+    plus one elementwise Moller-Trumbore per ray, instead of a cross-lane
+    gather per chunk iteration.
+    """
+    ov = tuple(c[:, None] for c in _components(o))
+    dv = tuple(c[:, None] for c in _components(d))
+    e1 = p1 - p0
+    e2 = p2 - p0
+    tp = tuple(
+        c[best_i][:, None] for arr in (p0, e1, e2) for c in _components(arr)
+    )  # nine (N, 1) planes: each ray against its own best triangle
+    _, u, v = moller_trumbore_planes(ov, dv, tp, t_min)
+    return Hit(t=best_t, tri=best_i, u=u[:, 0], v=v[:, 0])

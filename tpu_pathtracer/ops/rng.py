@@ -54,7 +54,7 @@ def _to_unit_float(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def uniforms(pixel_id: jnp.ndarray, frame, bounce, salt, count: int) -> jnp.ndarray:
-    """(N,) pixel ids -> (N, count) independent uniforms in [0, 1).
+    """(N,) pixel ids -> (count, N) independent uniforms in [0, 1).
 
     ``salt`` folds the user seed in; ``frame``/``bounce`` are scalar counters.
     Each group of 4 lanes comes from one PCG4D evaluation re-keyed by lane
@@ -73,4 +73,4 @@ def uniforms(pixel_id: jnp.ndarray, frame, bounce, salt, count: int) -> jnp.ndar
             salt + _U32(group) * _U32(0x85EBCA6B),
         )
         outs.extend(_to_unit_float(x) for x in v)
-    return jnp.stack(outs[:count], axis=-1)
+    return jnp.stack(outs[:count], axis=0)

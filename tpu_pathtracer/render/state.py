@@ -57,6 +57,45 @@ def accumulate(accum, frame_index, color, accumulate_image: bool):
     return color + (accum - color) * jnp.where(frame_index > 0, factor, 0.0)
 
 
+def sample_sum(
+    scene: Scene,
+    cfg: RenderConfig,
+    camera: Camera,
+    height: int,
+    width: int,
+    key: jnp.ndarray,
+    frame_index: jnp.ndarray,
+    intersect: IntersectFn | None = None,
+    row0=0,
+    full_height: int | None = None,
+    full_width: int | None = None,
+    sample0=0,
+    sample_count: int | None = None,
+) -> jnp.ndarray:
+    """Unnormalized radiance sum over a shard of the frame's samples for a
+    row-tile -> (H, W, S).
+
+    The single-chip path sums all cfg.samples_per_frame samples of the full
+    image; parallel/ gives each device a (row-tile, sample-shard) pair and
+    psum-reduces over the sample axis.  Sample RNG keys on the absolute sample
+    index, so every partition traces identical paths.
+    """
+    frame_key = jax.random.fold_in(key, frame_index)
+    sample_count = cfg.samples_per_frame if sample_count is None else sample_count
+
+    def one_sample(i, acc):
+        k = jax.random.fold_in(frame_key, sample0 + i)
+        return acc + render_sample(
+            scene, cfg, camera, height, width, k, frame_index, intersect,
+            row0, full_height, full_width,
+        )
+
+    return jax.lax.fori_loop(
+        0, sample_count, one_sample,
+        jnp.zeros((height, width, cfg.spectrum_samples), jnp.float32),
+    )
+
+
 def render_frame(
     state: RenderState,
     scene: Scene,
@@ -68,17 +107,9 @@ def render_frame(
     mean into the accumulator.  Pure; jit with static cfg and donated state."""
     camera = camera if camera is not None else Camera.reference_default()
     height, width = state.height, state.width
-    frame_key = jax.random.fold_in(state.key, state.frame_index)
-
-    def one_sample(i, acc):
-        k = jax.random.fold_in(frame_key, i)
-        return acc + render_sample(
-            scene, cfg, camera, height, width, k, state.frame_index, intersect
-        )
-
-    total = jax.lax.fori_loop(
-        0, cfg.samples_per_frame, one_sample,
-        jnp.zeros((height, width, cfg.spectrum_samples), jnp.float32),
+    total = sample_sum(
+        scene, cfg, camera, height, width, state.key, state.frame_index,
+        intersect,
     )
     color = total / cfg.samples_per_frame
     new_accum = accumulate(state.accum, state.frame_index, color, cfg.accumulate_image)

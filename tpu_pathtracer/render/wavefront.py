@@ -6,12 +6,13 @@ TPU-native equivalent of the reference's per-frame kernel sequence
     rayGenerator -> [ intersect -> intersectionHandler -> shadow-intersect
                       -> lightSamplingHandler ] x MAX_PATH_LENGTH -> accumulateImage
 
-Here the whole frame is ONE jitted function: ray state is a pytree of SoA arrays
-(the reference's 68-byte interleaved ``Ray`` structs become parallel (N,...)
-arrays), the host-unrolled bounce loop becomes ``lax.fori_loop``, dead rays are
-masked (matching the reference's ``maxDistance = -1`` convention,
+Here the whole frame is ONE jitted function: ray state is a pytree of
+component-major SoA arrays — (3, N) vectors, (S, N) spectra, (N,) scalars —
+(the reference's 68-byte interleaved ``Ray`` structs, restructured so every op
+fills the VPU lanes), the host-unrolled bounce loop becomes ``lax.fori_loop``,
+dead rays are masked (matching the reference's ``maxDistance = -1`` convention,
 renderer/Shaders.metal:119,124), and XLA fuses the shading stages.  Randomness
-is counter-based ``jax.random`` keyed on (frame, bounce), replacing the
+is counter-based hashing keyed on (pixel, frame, bounce), replacing the
 wall-clock-seeded 64x64 noise tiles (renderer/Renderer.mm:109-129).
 
 Estimator notes (all reference-exact when ``cfg.reference_quirks``):
@@ -28,15 +29,14 @@ Estimator notes (all reference-exact when ``cfg.reference_quirks``):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import IOR_AIR, NoiseMode, RenderConfig
+from ..config import IOR_AIR, RenderConfig
 from ..core.geometry import interpolate
-from ..core.math3d import dot, length, normalize
+from ..core.math3d import dot, length, where3
 from ..core.sampling import balance_heuristic, barycentric, select_light_index
 from ..models import bsdf as bsdf_lib
 from ..models.camera import Camera, generate_rays
@@ -45,20 +45,34 @@ from ..scene.scene import Scene
 from .noise import bounce_uniforms, camera_jitter
 
 IntersectFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Hit]
-# (origins (N,3), directions (N,3), active (N,) bool) -> Hit
+# (origins (3, N), directions (3, N), active (N,) bool) -> Hit
 
 
 class PathState(NamedTuple):
     """SoA ray state (the reference's Ray struct, renderer/Raytracing.h:54-69)."""
 
-    origin: jnp.ndarray        # (N, 3)
-    direction: jnp.ndarray     # (N, 3)
-    throughput: jnp.ndarray    # (N, S)
-    radiance: jnp.ndarray      # (N, S)
+    origin: jnp.ndarray        # (3, N)
+    direction: jnp.ndarray     # (3, N)
+    throughput: jnp.ndarray    # (S, N)
+    radiance: jnp.ndarray      # (S, N)
     pdf: jnp.ndarray           # (N,)  params.x: previous bounce's material pdf
     prev_diffuse: jnp.ndarray  # (N,)  params.y: 1.0 if previous bounce was diffuse
     ior: jnp.ndarray           # (N,)  params.w: current medium IoR
     alive: jnp.ndarray         # (N,) bool (maxDistance > 0 in the reference)
+
+
+def initial_path_state(origins, directions, samples: int) -> PathState:
+    num = origins.shape[1]
+    return PathState(
+        origin=origins,
+        direction=directions,
+        throughput=jnp.ones((samples, num), jnp.float32),
+        radiance=jnp.zeros((samples, num), jnp.float32),
+        pdf=jnp.ones((num,), jnp.float32),
+        prev_diffuse=jnp.zeros((num,), jnp.float32),
+        ior=jnp.full((num,), IOR_AIR, jnp.float32),
+        alive=jnp.ones((num,), bool),
+    )
 
 
 def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
@@ -76,7 +90,8 @@ def trace_bounce(
     bounce: jnp.ndarray,
     state: PathState,
     uniforms: dict,
-) -> PathState:
+    with_stats: bool = False,
+):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
     Mirrors intersectionHandler + lightSamplingHandler
@@ -84,7 +99,6 @@ def trace_bounce(
     """
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
-    num = state.origin.shape[0]
 
     hit = intersect(state.origin, state.direction, state.alive)
     # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
@@ -94,15 +108,15 @@ def trace_bounce(
 
     tri = jnp.where(valid, hit.tri, 0)
     mat = scene.material_id[tri]                     # (N,)
-    m_diffuse = scene.mat_diffuse[mat]               # (N, S)
-    m_emissive = scene.mat_emissive[mat]
+    m_diffuse = scene.mat_diffuse[:, mat]            # (S, N)
+    m_emissive = scene.mat_emissive[:, mat]
     m_ior = scene.mat_ior[mat]
     m_type = scene.mat_type[mat]
 
     uvw = hit.uvw
     hp, hn = interpolate(
-        scene.p0[tri], scene.p1[tri], scene.p2[tri],
-        scene.n0[tri], scene.n1[tri], scene.n2[tri],
+        scene.p0[:, tri], scene.p1[:, tri], scene.p2[:, tri],
+        scene.n0[:, tri], scene.n1[:, tri], scene.n2[:, tri],
         uvw,
     )
 
@@ -111,15 +125,15 @@ def trace_bounce(
 
     # ---- next-event estimation (reference: renderer/Shaders.metal:149-176) ----
     li = select_light_index(uniforms["light_select"], scene.light_cdf)
-    lw = barycentric(uniforms["light_bary"])                     # (N, 3)
+    lw = barycentric(uniforms["light_bary"])                     # (3, N)
     lp, ln_ = interpolate(
-        scene.light_p[li, 0], scene.light_p[li, 1], scene.light_p[li, 2],
-        scene.light_n[li, 0], scene.light_n[li, 1], scene.light_n[li, 2],
+        scene.light_p[0][:, li], scene.light_p[1][:, li], scene.light_p[2][:, li],
+        scene.light_n[0][:, li], scene.light_n[1][:, li], scene.light_n[2][:, li],
         lw,
     )
     to_light_full = lp - hp
     dist = length(to_light_full)
-    to_light = to_light_full / jnp.maximum(dist, 1e-30)[..., None]
+    to_light = to_light_full / jnp.maximum(dist, 1e-30)[None]
     l_dot_d = -dot(to_light, ln_)
     dir_ok = (dist >= eps) & (l_dot_d >= aeps)
     # solid-angle pdf (reference: renderer/KernelHelpers.h:181-190)
@@ -142,8 +156,7 @@ def trace_bounce(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
     nee_contrib = (
-        scene.light_emissive[li] * m_diffuse * state.throughput
-        * nee_scale[..., None]
+        scene.light_emissive[:, li] * m_diffuse * state.throughput * nee_scale[None]
     )
     shadow_origin = hp + hn * eps
     target = scene.light_tri[li].astype(jnp.int32)
@@ -156,7 +169,7 @@ def trace_bounce(
     # "lightVertex" is the hit point itself (same triangle, same barycentrics).
     to_emitter_full = hp - state.origin
     e_dist = length(to_emitter_full)
-    to_emitter = to_emitter_full / jnp.maximum(e_dist, 1e-30)[..., None]
+    to_emitter = to_emitter_full / jnp.maximum(e_dist, 1e-30)[None]
     e_cos = -dot(to_emitter, hn)
     e_ok = (e_dist >= eps) & (e_cos >= aeps)
     emit_lpdf = jnp.where(
@@ -169,8 +182,7 @@ def trace_bounce(
     emit_weight = balance_heuristic(state.pdf, emit_lpdf)
     emit_factor = emit_weight * (state.pdf if cfg.reference_quirks else 1.0)
     emit_contrib = (
-        m_emissive * state.throughput
-        * jnp.where(is_light, emit_factor, 0.0)[..., None]
+        m_emissive * state.throughput * jnp.where(is_light, emit_factor, 0.0)[None]
     )
 
     # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
@@ -178,14 +190,13 @@ def trace_bounce(
         m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
-    throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[..., None]
+    throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[None]
 
-    valid3 = valid[..., None]
     new_state = PathState(
-        origin=jnp.where(valid3, hp + hn * eps, state.origin),
-        direction=jnp.where(valid3, w_o, state.direction),
-        throughput=jnp.where(valid3, state.throughput * throughput_scale,
-                             state.throughput),
+        origin=where3(valid, hp + hn * eps, state.origin),
+        direction=where3(valid, w_o, state.direction),
+        throughput=where3(valid, state.throughput * throughput_scale,
+                          state.throughput),
         radiance=state.radiance + emit_contrib,
         pdf=jnp.where(valid, nb_pdf, state.pdf),
         prev_diffuse=jnp.where(
@@ -205,9 +216,16 @@ def trace_bounce(
         & (shadow_hit.tri == target)
     )
     new_state = new_state._replace(
-        radiance=new_state.radiance
-        + jnp.where(shadow_clear[..., None], nee_contrib, 0.0)
+        radiance=new_state.radiance + jnp.where(shadow_clear[None], nee_contrib, 0.0)
     )
+    if with_stats:
+        # rays the traversal actually processed this bounce (the reference's
+        # MPS skips lanes with maxDistance < 0)
+        stats = {
+            "path": jnp.sum(state.alive.astype(jnp.int32)),
+            "shadow": jnp.sum(light_ok.astype(jnp.int32)),
+        }
+        return new_state, stats
     return new_state
 
 
@@ -220,30 +238,37 @@ def render_sample(
     key: jnp.ndarray,
     frame_index: jnp.ndarray,
     intersect: IntersectFn | None = None,
+    row0=0,
+    full_height: int | None = None,
+    full_width: int | None = None,
 ) -> jnp.ndarray:
-    """Trace one full path-traced sample for every pixel -> (H, W, S) radiance."""
+    """Trace one full path-traced sample for every pixel -> (H, W, S) radiance.
+
+    ``row0``/``full_height``/``full_width`` render a row-tile of a larger image
+    (used by parallel/ to shard pixels across a device mesh); the counter-based
+    RNG keys on absolute pixel ids, so a tiled render is bit-identical to the
+    single-chip one.
+    """
     if intersect is None:
         intersect = make_brute_intersector(scene)
-    num = height * width
+    full_height = full_height or height
+    full_width = full_width or width
 
     cam_key = jax.random.fold_in(key, 0xC0FFEE)
-    jitter = camera_jitter(cfg, cam_key, frame_index, height, width)
-    origins, directions = generate_rays(camera, height, width, jitter)
-
-    state = PathState(
-        origin=origins.reshape(num, 3),
-        direction=directions.reshape(num, 3),
-        throughput=jnp.ones((num, cfg.spectrum_samples), jnp.float32),
-        radiance=jnp.zeros((num, cfg.spectrum_samples), jnp.float32),
-        pdf=jnp.ones((num,), jnp.float32),
-        prev_diffuse=jnp.zeros((num,), jnp.float32),
-        ior=jnp.full((num,), IOR_AIR, jnp.float32),
-        alive=jnp.ones((num,), bool),
+    jitter = camera_jitter(
+        cfg, cam_key, frame_index, height, width, row0, full_height, full_width
     )
+    origins, directions = generate_rays(
+        camera, height, width, jitter, row0, full_height, full_width
+    )
+    state = initial_path_state(origins, directions, cfg.spectrum_samples)
 
     def body(b, st):
-        uniforms = bounce_uniforms(cfg, key, frame_index, b, height, width)
+        uniforms = bounce_uniforms(
+            cfg, key, frame_index, b, height, width, row0, full_height, full_width
+        )
         return trace_bounce(scene, cfg, intersect, b, st, uniforms)
 
     state = jax.lax.fori_loop(0, cfg.max_path_length, body, state)
-    return state.radiance.reshape(height, width, cfg.spectrum_samples)
+    # (S, N) -> (H, W, S) display layout
+    return state.radiance.T.reshape(height, width, cfg.spectrum_samples)

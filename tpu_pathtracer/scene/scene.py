@@ -25,7 +25,7 @@ from .objmtl import ObjMesh, load_obj
 
 
 class Scene(NamedTuple):
-    # --- triangle geometry, gathered SoA: (T, 3) each ---
+    # --- triangle geometry, gathered component-major SoA: (3, T) each ---
     p0: jnp.ndarray
     p1: jnp.ndarray
     p2: jnp.ndarray
@@ -36,14 +36,14 @@ class Scene(NamedTuple):
     material_id: jnp.ndarray     # (T,) int32
     light_index: jnp.ndarray     # (T,) int32, -1 when not emissive
     # --- material table (reference: Material, Raytracing.h:98-104) ---
-    mat_diffuse: jnp.ndarray     # (M, S)
-    mat_emissive: jnp.ndarray    # (M, S)
+    mat_diffuse: jnp.ndarray     # (S, M)
+    mat_emissive: jnp.ndarray    # (S, M)
     mat_ior: jnp.ndarray         # (M,)
     mat_type: jnp.ndarray        # (M,) int32
     # --- light table incl. sentinel row (reference: LightTriangle, Raytracing.h:113-123) ---
-    light_emissive: jnp.ndarray  # (L+1, S)
-    light_p: jnp.ndarray         # (L+1, 3, 3) three vertex positions
-    light_n: jnp.ndarray         # (L+1, 3, 3) three vertex normals
+    light_emissive: jnp.ndarray  # (S, L+1)
+    light_p: jnp.ndarray         # (3 vertices, 3 components, L+1) positions
+    light_n: jnp.ndarray         # (3 vertices, 3 components, L+1) normals
     light_area: jnp.ndarray      # (L+1,)
     light_pdf: jnp.ndarray       # (L+1,)
     light_cdf: jnp.ndarray       # (L+1,) exclusive prefix; sentinel = total
@@ -51,7 +51,7 @@ class Scene(NamedTuple):
 
     @property
     def num_triangles(self) -> int:
-        return self.p0.shape[0]
+        return self.p0.shape[1]
 
     @property
     def num_lights(self) -> int:
@@ -100,11 +100,13 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
     )
     light_tri_idx = with_sentinel(light_tri.astype(np.uint32), 0)
 
-    up = lambda rgb: spec.from_rgb(jnp.asarray(rgb, jnp.float32), samples)
+    # (rows, S) RGB table -> (S, rows) component-major spectrum table
+    up = lambda rgb: spec.from_rgb(jnp.asarray(rgb, jnp.float32), samples).T
+    cm = lambda arr: jnp.asarray(arr.T)  # (T, 3) -> (3, T)
 
     return Scene(
-        p0=jnp.asarray(p[0]), p1=jnp.asarray(p[1]), p2=jnp.asarray(p[2]),
-        n0=jnp.asarray(n[0]), n1=jnp.asarray(n[1]), n2=jnp.asarray(n[2]),
+        p0=cm(p[0]), p1=cm(p[1]), p2=cm(p[2]),
+        n0=cm(n[0]), n1=cm(n[1]), n2=cm(n[2]),
         material_id=jnp.asarray(mat_ids, jnp.int32),
         light_index=jnp.asarray(light_index),
         mat_diffuse=up(mats.diffuse),
@@ -112,8 +114,9 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
         mat_ior=jnp.asarray(mats.ior),
         mat_type=jnp.asarray(mats.mtype),
         light_emissive=up(light_emissive),
-        light_p=jnp.asarray(light_p),
-        light_n=jnp.asarray(light_n),
+        # (L+1, vertex, comp) -> (vertex, comp, L+1)
+        light_p=jnp.asarray(np.transpose(light_p, (1, 2, 0))),
+        light_n=jnp.asarray(np.transpose(light_n, (1, 2, 0))),
         light_area=jnp.asarray(light_area),
         light_pdf=jnp.asarray(light_pdf),
         light_cdf=jnp.asarray(light_cdf),
