@@ -1,0 +1,107 @@
+"""LBVH build + traversal correctness vs the brute-force oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.accel import build_layout
+from tpu_pathtracer.ops.intersect import intersect_brute
+from tpu_pathtracer.ops.traverse import intersect_bvh
+from tpu_pathtracer.scene import load_scene, scene_path
+
+
+def _random_rays(n, key=1):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    o = jax.random.uniform(k1, (3, n), minval=-0.9, maxval=0.9).at[1].add(1.0)
+    d = jax.random.normal(k2, (3, n))
+    return o, d / jnp.linalg.norm(d, axis=0, keepdims=True)
+
+
+@pytest.fixture(scope="module", params=["cornellbox", "CornellBox-Water-plastic"])
+def scene_and_layout(request):
+    scene = load_scene(scene_path(request.param))
+    return scene, build_layout(scene, leaf_size=4)
+
+
+def test_layout_invariants(scene_and_layout):
+    scene, lay = scene_and_layout
+    miss = np.asarray(lay.miss)
+    counts = np.asarray(lay.tri_count)
+    first = np.asarray(lay.first_tri)
+    m = lay.num_nodes
+    # escape links point strictly forward; root escapes to the sentinel
+    assert (miss > np.arange(m)).all()
+    assert miss[0] == m
+    # leaves cover every triangle exactly once
+    leaf = counts > 0
+    spans = []
+    for f, c in zip(first[leaf], counts[leaf]):
+        spans.extend(range(f, f + c))
+    assert sorted(spans) == list(range(lay.num_tris))
+    # sorted_to_orig is a permutation
+    assert sorted(np.asarray(lay.sorted_to_orig)) == list(range(lay.num_tris))
+    # packed meta decodes to the component-major copies
+    meta = np.asarray(lay.nodes_meta)
+    assert (meta[:, 0] == miss).all()
+    assert ((meta[:, 1] & 63) == counts).all()
+    assert ((meta[:, 1] >> 6)[leaf] == first[leaf]).all()
+
+
+def test_traversal_matches_brute(scene_and_layout):
+    scene, lay = scene_and_layout
+    o, d = _random_rays(1024)
+    hb = intersect_brute(o, d, scene.p0, scene.p1, scene.p2)
+    hv = intersect_bvh(o, d, lay)
+    tb, tv = np.asarray(hb.t), np.asarray(hv.t)
+    assert (np.isfinite(tb) == np.isfinite(tv)).all()
+    both = np.isfinite(tb)
+    np.testing.assert_allclose(tb[both], tv[both], rtol=1e-4)
+    # indices agree except for coplanar shared-edge ties (equal t)
+    agree = (np.asarray(hb.tri)[both] == np.asarray(hv.tri)[both]).mean()
+    assert agree > 0.98
+
+
+def test_traversal_active_mask(scene_and_layout):
+    scene, lay = scene_and_layout
+    o, d = _random_rays(512)
+    act = jnp.arange(512) % 2 == 0
+    hm = intersect_bvh(o, d, lay, active=act)
+    hv = intersect_bvh(o, d, lay)
+    tm, tv = np.asarray(hm.t), np.asarray(hv.t)
+    assert not np.isfinite(tm[1::2]).any()
+    np.testing.assert_allclose(tm[0::2], tv[0::2], rtol=1e-5)
+
+
+def test_pallas_interpret_matches(scene_and_layout):
+    """Run the Pallas kernel in interpreter mode (CPU) against the oracle."""
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=5)
+    import functools
+
+    import jax.experimental.pallas as pl
+
+    # monkey-less: call pallas in interpret mode via the module's entry with
+    # a tiny tile by running under force-interpret
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        hs = pt.intersect_bvh_pallas(o, d, lay, tile=128)
+    hb = intersect_brute(o, d, scene.p0, scene.p1, scene.p2)
+    tb, tp_ = np.asarray(hb.t), np.asarray(hs.t)
+    assert (np.isfinite(tb) == np.isfinite(tp_)).all()
+    both = np.isfinite(tb)
+    np.testing.assert_allclose(tb[both], tp_[both], rtol=1e-4)
+    # shading payload: position equals o + t*d
+    pos = np.asarray(hs.pos)[:, both]
+    expect = np.asarray(o)[:, both] + tb[both] * np.asarray(d)[:, both]
+    np.testing.assert_allclose(pos, expect, atol=1e-3)
+    # unit normals
+    nrm = np.asarray(hs.normal)[:, both]
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=0), 1.0, atol=1e-3)
+    # material/light ids match the scene tables
+    tri = np.asarray(hs.tri)[both]
+    assert (np.asarray(hs.mat)[both] == np.asarray(scene.material_id)[tri]).all()
+    assert (np.asarray(hs.light)[both] == np.asarray(scene.light_index)[tri]).all()

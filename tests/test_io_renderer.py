@@ -1,0 +1,78 @@
+import os
+
+import numpy as np
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.io.checkpoint import load_checkpoint, save_checkpoint
+from tpu_pathtracer.io.png import write_png
+from tpu_pathtracer.renderer import Renderer
+
+TINY = dict(width=32, height=24)
+CFG = RenderConfig(samples_per_frame=2, max_path_length=3, intersector="brute")
+
+
+def test_renderer_progressive_and_hud():
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(3)
+    assert r.frame_index == 3
+    img = r.image()
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all() and img.max() > 0
+    assert "Frame: 3" in r.hud() and "Mrays/s" in r.hud()
+
+
+def test_renderer_max_frames_gate():
+    r = Renderer("cornellbox", cfg=CFG.replace(max_frames=2), **TINY)
+    r.run(5)
+    assert r.frame_index == 2  # reference: MAX_FRAMES gate (Renderer.mm:589-591)
+
+
+def test_checkpoint_resume(tmp_path):
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(2)
+    path = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(path)
+    r.run(2)
+    after4 = r.image()
+
+    r2 = Renderer("cornellbox", cfg=CFG, **TINY)
+    r2.load_checkpoint(path)
+    assert r2.frame_index == 2
+    r2.run(2)
+    np.testing.assert_array_equal(r2.image(), after4)  # bit-exact resume
+
+
+def test_save_outputs(tmp_path):
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(1)
+    exr = str(tmp_path / "out.exr")
+    png = str(tmp_path / "out.png")
+    r.save_exr(exr)
+    r.save_png(png)
+    from tpu_pathtracer.io.exr import read_exr
+
+    back, _ = read_exr(exr)
+    np.testing.assert_allclose(back, r.image(), atol=2e-2)  # half precision
+    assert os.path.getsize(png) > 100
+    with open(png, "rb") as fh:
+        assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_reset_is_drawable_size_change(tmp_path):
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(2)
+    r.reset(width=16, height=8)
+    assert r.frame_index == 0
+    assert r.image().shape == (8, 16, 3)
+
+
+def test_cli_smoke(tmp_path):
+    from tpu_pathtracer.cli import main
+
+    out = str(tmp_path / "cli.exr")
+    rc = main([
+        "--scene", "cornellbox", "--width", "32", "--height", "24",
+        "--frames", "2", "--depth", "3", "--intersector", "brute",
+        "--hud-every", "0", "-o", out,
+    ])
+    assert rc == 0 and os.path.exists(out)

@@ -1,0 +1,60 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer.ops.rng import uniforms
+from tpu_pathtracer.ops.tables import select_cols
+from tpu_pathtracer.render.order import choose_block, image_from_flat, make_order
+
+
+def test_order_roundtrip():
+    h, w = 24, 40
+    order = make_order(h, w, tile=64)
+    # the flat value "row*W+col" must land at pixel (row, col)
+    flat = (order.rows * w + order.cols).astype(jnp.float32)[None]
+    img = np.asarray(image_from_flat(flat, order))[..., 0]
+    expect = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    np.testing.assert_array_equal(img, expect)
+
+
+def test_choose_block_divides():
+    for (h, w, t) in ((1080, 1920, 1536), (540, 960, 512), (75, 100, 256)):
+        bh, bw = choose_block(h, w, t)
+        assert h % bh == 0 and w % bw == 0 and bh * bw <= t
+
+
+def test_select_cols_matches_gather():
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (3, 9))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (77,), 0, 9)
+    np.testing.assert_array_equal(
+        np.asarray(select_cols(table, idx)), np.asarray(table[:, idx])
+    )
+    one_d = jax.random.normal(key, (9,))
+    np.testing.assert_array_equal(
+        np.asarray(select_cols(one_d, idx)), np.asarray(one_d[idx])
+    )
+
+
+def test_rng_uniform_and_decorrelated():
+    pid = jnp.arange(100_000, dtype=jnp.uint32)
+    u = np.asarray(uniforms(pid, 3, 2, jnp.uint32(123), 6))
+    assert u.shape == (6, 100_000)
+    assert (u >= 0).all() and (u < 1).all()
+    np.testing.assert_allclose(u.mean(axis=1), 0.5, atol=0.01)
+    # distinct purposes decorrelated
+    corr = np.corrcoef(u)
+    off_diag = corr - np.eye(6)
+    assert np.abs(off_diag).max() < 0.02
+
+
+def test_rng_counter_determinism_and_sensitivity():
+    pid = jnp.arange(1000, dtype=jnp.uint32)
+    a = np.asarray(uniforms(pid, 1, 2, jnp.uint32(9), 4))
+    b = np.asarray(uniforms(pid, 1, 2, jnp.uint32(9), 4))
+    np.testing.assert_array_equal(a, b)  # pure function of counters
+    c = np.asarray(uniforms(pid, 2, 2, jnp.uint32(9), 4))
+    d = np.asarray(uniforms(pid, 1, 3, jnp.uint32(9), 4))
+    e = np.asarray(uniforms(pid, 1, 2, jnp.uint32(10), 4))
+    for other in (c, d, e):
+        assert np.abs(a - other).min() > 0  # any counter change changes everything

@@ -1,0 +1,45 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: the distributed render
+must be bit-identical (up to psum float rounding) to single-chip."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.parallel.tiles import (
+    make_mesh,
+    render_frame_distributed_jit,
+    shard_state,
+)
+from tpu_pathtracer.render import init_state, render_frame_jit
+from tpu_pathtracer.scene import load_scene, scene_path
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.mark.parametrize("tiles,spp_shards", [(4, 2), (8, 1), (2, 4)])
+def test_distributed_equals_single_chip(tiles, spp_shards):
+    scene = load_scene(scene_path("cornellbox"))
+    cfg = RenderConfig(samples_per_frame=4, max_path_length=3, use_pallas=False)
+    h, w = 32, 64
+
+    s1 = init_state(h, w)
+    s1 = render_frame_jit(s1, scene, cfg)
+    s1 = render_frame_jit(s1, scene, cfg)
+    ref = np.asarray(s1.accum)
+
+    mesh = make_mesh(tiles, spp_shards)
+    step = render_frame_distributed_jit(mesh, cfg)
+    s2 = shard_state(init_state(h, w), mesh)
+    s2 = step(s2, scene)
+    s2 = step(s2, scene)
+    np.testing.assert_allclose(np.asarray(s2.accum), ref, atol=2e-6)
+    assert int(s2.frame_index) == 2
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

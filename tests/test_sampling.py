@@ -31,18 +31,18 @@ def test_balance_heuristic_is_power2():
 
 def test_barycentric_valid_and_uniform():
     key = jax.random.PRNGKey(0)
-    smp = jax.random.uniform(key, (4096, 2))
-    w = np.asarray(sampling.barycentric(smp))
-    assert np.allclose(w.sum(-1), 1.0, atol=1e-6)
+    smp = jax.random.uniform(key, (2, 4096))
+    w = np.asarray(sampling.barycentric(smp))  # (3, N)
+    assert np.allclose(w.sum(0), 1.0, atol=1e-6)
     assert (w >= 0).all()
     # uniform area sampling -> mean weight 1/3 per vertex
-    assert np.allclose(w.mean(0), 1.0 / 3.0, atol=0.02)
+    assert np.allclose(w.mean(1), 1.0 / 3.0, atol=0.02)
 
 
 def test_orthonormal_basis():
     key = jax.random.PRNGKey(1)
-    n = jax.random.normal(key, (512, 3))
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jax.random.normal(key, (3, 512))
+    n = n / jnp.linalg.norm(n, axis=0, keepdims=True)
     u, v = sampling.build_orthonormal_basis(n)
     assert np.allclose(np.asarray(length(u)), 1.0, atol=1e-5)
     assert np.allclose(np.asarray(length(v)), 1.0, atol=1e-5)
@@ -52,16 +52,17 @@ def test_orthonormal_basis():
 
 def test_diffuse_bounce_cosine_distribution():
     key = jax.random.PRNGKey(2)
-    smp = jax.random.uniform(key, (200_000, 2))
-    n = jnp.array([0.0, 0.0, 1.0])
-    d = sampling.generate_diffuse_bounce(smp, jnp.broadcast_to(n, smp.shape[:1] + (3,)))
-    cos = np.asarray(d[:, 2])
+    n_samples = 200_000
+    smp = jax.random.uniform(key, (2, n_samples))
+    n = jnp.broadcast_to(jnp.array([[0.0], [0.0], [1.0]]), (3, n_samples))
+    d = sampling.generate_diffuse_bounce(smp, n)  # (3, N)
+    cos = np.asarray(d[2])
     assert (cos >= 0).all()
     # cosine-weighted hemisphere: E[cos] = 2/3
     assert np.isclose(cos.mean(), 2.0 / 3.0, atol=0.01)
     # azimuthal symmetry
-    assert abs(np.asarray(d[:, 0]).mean()) < 0.01
-    assert abs(np.asarray(d[:, 1]).mean()) < 0.01
+    assert abs(np.asarray(d[0]).mean()) < 0.01
+    assert abs(np.asarray(d[1]).mean()) < 0.01
 
 
 def test_select_light_index_matches_linear_walk():

@@ -1,0 +1,40 @@
+"""Acceleration structures: LBVH build + DFS-threaded layout.
+
+``build_layout`` is the one-call equivalent of the reference's
+``MPSTriangleAccelerationStructure`` setup+rebuild (reference:
+renderer/Renderer.mm:456-462).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..scene.scene import Scene
+from .layout import BVHLayout, dfs_layout
+from .lbvh import BVH, build, morton_codes  # noqa: F401
+
+
+def build_layout(scene: Scene, leaf_size: int = 4) -> BVHLayout:
+    """Build the traversal-ready BVH for a scene.
+
+    The build itself is a one-shot host-side step (like the reference's
+    startup ``rebuild``), so it runs on the CPU backend when one is available —
+    device placement of the *resulting* layout arrays follows the caller's
+    default device (HBM on TPU).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
+            bvh = jax.block_until_ready(bvh)
+    else:
+        bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
+    return dfs_layout(
+        bvh,
+        normals=(scene.n0, scene.n1, scene.n2),
+        material_id=scene.material_id,
+        light_index=scene.light_index,
+    )

@@ -1,0 +1,151 @@
+"""DFS-threaded BVH layout for tile-coherent traversal.
+
+The Karras build (lbvh.py) numbers internal nodes by sorted-leaf ranges, not by
+traversal order.  This pass (host-side numpy, one-shot at scene load — the
+analog of the reference's startup ``rebuild``, renderer/Renderer.mm:456-462)
+re-numbers the *effective* tree (leaf-collapsed) in DFS preorder and packs it
+for the traversal kernels:
+
+  * DFS preorder makes ``first_child == node + 1``: a node's id is the order it
+    is visited, so a tile of rays whose per-lane node pointers are advanced by
+    "process min(pointer) each step" visits the union of their traversal sets
+    exactly once, in order — the property that makes the Pallas kernel's
+    tile-synchronous loop optimal for coherent rays.
+  * ``miss`` (escape) links always point forward; the sentinel M means done.
+  * Node records: (M, 8) f32 [bmin.xyz, bmax.xyz, pad2] plus a parallel
+    (M, 2) int32 table [miss, meta] (meta = first_tri * 64 + tri_count;
+    tri_count == 0 marks an internal node) — Mosaic has no scalar bitcast,
+    so float and int node data live in separate VMEM tables.
+  * Triangle record: 24 f32 lanes [p0.xyz, e1.xyz, e2.xyz, orig_idx,
+    n0.xyz, n1.xyz, n2.xyz, material_id, light_index+1, pad2] in morton-sorted
+    order, so every leaf is one contiguous run of rows.  Integer fields are
+    stored as exact small floats (< 2^24).  A sentinel all-zeros row at index T
+    serves lanes that miss.
+
+Everything stays small enough to live entirely in VMEM for the bundled scenes
+(effective nodes ~ 2*T/leaf_size).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .lbvh import BVH
+
+MAX_LEAF = 63  # tri_count field width (6 bits)
+
+
+class BVHLayout(NamedTuple):
+    nodes: jnp.ndarray           # (M, 8) float32 [bmin.xyz, bmax.xyz, pad2]
+    nodes_meta: jnp.ndarray      # (M, 2) int32 [miss, first_tri*64 + count]
+    tris: jnp.ndarray            # (T+1, 24) float32 (see module docstring)
+    sorted_to_orig: jnp.ndarray  # (T,) int32 sorted slot -> original tri index
+    num_nodes: int               # M (sentinel id == M)
+    num_tris: int
+    max_leaf: int                # max tri_count over leaves (static unroll bound)
+
+    # component-major copies for the pure-JAX traversal path
+    bmin: jnp.ndarray            # (3, M)
+    bmax: jnp.ndarray            # (3, M)
+    miss: jnp.ndarray            # (M,) int32
+    first_tri: jnp.ndarray       # (M,) int32
+    tri_count: jnp.ndarray       # (M,) int32 (0 = internal)
+    p0: jnp.ndarray              # (3, T) sorted triangle vertices
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+
+def dfs_layout(
+    bvh: BVH,
+    normals=None,        # optional ((3,T), (3,T), (3,T)) in ORIGINAL tri order
+    material_id=None,    # optional (T,) in original order
+    light_index=None,    # optional (T,) in original order (-1 = not a light)
+) -> BVHLayout:
+    """Flatten the effective (leaf-collapsed) tree into DFS preorder."""
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    is_leaf = np.asarray(bvh.is_leaf)
+    first_tri = np.asarray(bvh.first_tri)
+    tri_count = np.asarray(bvh.tri_count)
+    bmin = np.asarray(bvh.bmin)
+    bmax = np.asarray(bvh.bmax)
+
+    # Iterative DFS preorder over the effective tree; post-order accumulation
+    # of subtree sizes gives the escape links: miss[pos] = pos + subtree_size.
+    order: list[int] = []
+    sizes: list[int] = []
+    stack: list[tuple[int, int, bool]] = [(int(bvh.root), -1, False)]
+    open_pos: list[int] = []  # positions awaiting their post-visit size fix-up
+    while stack:
+        node, _, post = stack.pop()
+        if post:
+            p = open_pos.pop()
+            sizes[p] = (len(order) - p)
+            continue
+        order.append(node)
+        sizes.append(1)
+        if not is_leaf[node]:
+            open_pos.append(len(order) - 1)
+            stack.append((node, -1, True))  # post-visit marker
+            stack.append((int(right[node]), -1, False))
+            stack.append((int(left[node]), -1, False))
+
+    m = len(order)
+    order_arr = np.asarray(order, np.int64)
+    new_miss = (np.arange(m) + np.asarray(sizes)).astype(np.int32)
+
+    out_bmin = bmin[:, order_arr]
+    out_bmax = bmax[:, order_arr]
+    out_first = first_tri[order_arr].astype(np.int32)
+    counts = np.where(is_leaf[order_arr], tri_count[order_arr], 0).astype(np.int32)
+    max_leaf = int(counts.max()) if m else 1
+    if max_leaf > MAX_LEAF:
+        raise ValueError(f"leaf size {max_leaf} exceeds packable {MAX_LEAF}")
+
+    meta = ((out_first.astype(np.uint32) << 6) | counts.astype(np.uint32)).astype(np.int32)
+    nodes = np.zeros((m, 8), np.float32)
+    nodes[:, 0:3] = out_bmin.T
+    nodes[:, 3:6] = out_bmax.T
+    nodes_meta = np.stack([new_miss, meta], axis=1).astype(np.int32)
+
+    p0 = np.asarray(bvh.p0)
+    p1 = np.asarray(bvh.p1)
+    p2 = np.asarray(bvh.p2)
+    num_tris = p0.shape[1]
+    s2o = np.asarray(bvh.sorted_to_orig, np.int64)
+    tris = np.zeros((num_tris + 1, 24), np.float32)  # +1: all-zeros miss row
+    tris[:num_tris, 0:3] = p0.T
+    tris[:num_tris, 3:6] = (p1 - p0).T
+    tris[:num_tris, 6:9] = (p2 - p0).T
+    tris[:num_tris, 9] = s2o.astype(np.float32)
+    if normals is not None:
+        n0, n1, n2 = (np.asarray(n)[:, s2o] for n in normals)
+        tris[:num_tris, 10:13] = n0.T
+        tris[:num_tris, 13:16] = n1.T
+        tris[:num_tris, 16:19] = n2.T
+    if material_id is not None:
+        tris[:num_tris, 19] = np.asarray(material_id)[s2o].astype(np.float32)
+    if light_index is not None:
+        # stored +1 so the sentinel row's 0 decodes to light_index = -1
+        tris[:num_tris, 20] = np.asarray(light_index)[s2o].astype(np.float32) + 1.0
+
+    return BVHLayout(
+        nodes=jnp.asarray(nodes),
+        nodes_meta=jnp.asarray(nodes_meta),
+        tris=jnp.asarray(tris),
+        sorted_to_orig=jnp.asarray(np.asarray(bvh.sorted_to_orig), jnp.int32),
+        num_nodes=m,
+        num_tris=num_tris,
+        max_leaf=max_leaf,
+        bmin=jnp.asarray(out_bmin),
+        bmax=jnp.asarray(out_bmax),
+        miss=jnp.asarray(new_miss),
+        first_tri=jnp.asarray(out_first),
+        tri_count=jnp.asarray(counts),
+        p0=jnp.asarray(p0),
+        p1=jnp.asarray(p1),
+        p2=jnp.asarray(p2),
+    )

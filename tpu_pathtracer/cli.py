@@ -1,0 +1,110 @@
+"""Command-line progressive renderer.
+
+The runtime replacement for the reference's edit-and-recompile workflow
+(scene string at renderer/Renderer.mm:17-21, macro block at
+renderer/Raytracing.h:11-33): every compile-time knob is a flag.
+
+Examples:
+    python -m tpu_pathtracer.cli --scene cornellbox --frames 64 -o out.exr
+    python -m tpu_pathtracer.cli --scene CornellBox-Water-plastic \
+        --width 1920 --height 1080 --frames 16 --png out.png \
+        --compare-mode 1 --compare-out diff.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import ComparisonMode, NoiseMode, RenderConfig
+from .renderer import Renderer
+from .scene.assets import DEFAULT_SCENE, SCENE_NAMES, golden_path
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default=DEFAULT_SCENE, choices=SCENE_NAMES)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--spp-per-frame", type=int, default=1)
+    p.add_argument("--depth", type=int, default=8, help="MAX_PATH_LENGTH")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--leaf-size", type=int, default=4)
+    p.add_argument("--no-accumulate", action="store_true")
+    p.add_argument("--tone-map", action="store_true")
+    p.add_argument("--noise", choices=("prng", "tiled"), default="prng")
+    p.add_argument("--no-quirks", action="store_true",
+                   help="use conventional MIS instead of reference-exact estimator")
+    p.add_argument("-o", "--exr", help="write accumulated radiance EXR")
+    p.add_argument("--png", help="write tonemapped/sRGB PNG")
+    p.add_argument("--checkpoint", help="write render-state checkpoint (.npz)")
+    p.add_argument("--resume", help="resume from a checkpoint")
+    p.add_argument("--compare-mode", type=int, default=0,
+                   help="0=off 1=abs 2=ref-color 3=color-ref 4=luminance")
+    p.add_argument("--compare-scale", type=float, default=10.0)
+    p.add_argument("--compare-out", help="write the comparison image (PNG)")
+    p.add_argument("--hud-every", type=int, default=8)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    cfg = RenderConfig(
+        max_path_length=args.depth,
+        samples_per_frame=args.spp_per_frame,
+        accumulate_image=not args.no_accumulate,
+        enable_tone_mapping=args.tone_map,
+        noise_mode=NoiseMode.TILED if args.noise == "tiled" else NoiseMode.PRNG,
+        reference_quirks=not args.no_quirks,
+        intersector=args.intersector,
+        use_pallas=not args.no_pallas,
+        comparison_mode=ComparisonMode(args.compare_mode),
+        comparison_scale=args.compare_scale,
+    )
+    r = Renderer(
+        scene=args.scene, width=args.width, height=args.height,
+        cfg=cfg, seed=args.seed, leaf_size=args.leaf_size,
+    )
+    if args.resume:
+        r.load_checkpoint(args.resume)
+        print(f"resumed at frame {r.frame_index}")
+
+    for i in range(args.frames):
+        r.step()
+        if args.hud_every and (i + 1) % args.hud_every == 0:
+            print(r.hud(), flush=True)
+    print(r.hud())
+
+    if args.exr:
+        r.save_exr(args.exr)
+        print("wrote", args.exr)
+    if args.png:
+        r.save_png(args.png)
+        print("wrote", args.png)
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+        print("wrote", args.checkpoint)
+
+    if args.compare_mode and args.compare_out:
+        import numpy as np
+
+        from .io.exr import read_exr
+        from .io.png import write_png
+        from .utils.compare import comparison_image, downsample, metrics
+
+        gold, _ = read_exr(golden_path(args.scene, args.depth))
+        gold = downsample(gold, r.state.height, r.state.width)
+        img = r.image()
+        diff = comparison_image(
+            img, gold, ComparisonMode(args.compare_mode), args.compare_scale
+        )
+        write_png(args.compare_out, np.clip(diff, 0.0, 1.0))
+        print("wrote", args.compare_out, metrics(img, gold))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

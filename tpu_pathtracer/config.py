@@ -74,6 +74,15 @@ class RenderConfig:
     intersector: str = "bvh"
     # Use the Pallas tile-coherent traversal kernel when on TPU.
     use_pallas: bool = True
+    # Ray-tile width for the Pallas traversal (also drives the coherent
+    # pixel-block ordering in render/order.py).
+    traversal_tile: int = 1536
+    # Sort the wavefront before each secondary bounce by (alive, direction
+    # octant, origin Morton cell): dead rays compact into tiles that exit
+    # instantly and live rays regain tile coherence (the BASELINE.json
+    # "sort-based ray compaction").  One lax.sort with the whole ray state as
+    # payload (~26 ms at 2M rays) buys back seconds of divergent traversal.
+    sort_rays: bool = True
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
 

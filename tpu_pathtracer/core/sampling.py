@@ -134,5 +134,12 @@ def select_light_index(xi: jnp.ndarray, cdf: jnp.ndarray) -> jnp.ndarray:
     L+1 (sentinel cdf = 1.0 appended by the light-table builder, reference:
     renderer/Renderer.mm:444-448), that is exactly
     ``searchsorted(cdf[1:], xi, side='right')``.
+
+    For small light tables the count-of-passed-entries form compiles to L
+    full-width compares (no gather/sort machinery) on TPU.
     """
-    return jnp.searchsorted(cdf[1:], xi, side="right").astype(jnp.uint32)
+    tail = cdf[1:]
+    if tail.shape[0] <= 64:
+        hits = tail[:, None] <= xi[None, :]            # (L, N)
+        return jnp.sum(hits, axis=0, dtype=jnp.uint32)
+    return jnp.searchsorted(tail, xi, side="right").astype(jnp.uint32)

@@ -31,6 +31,53 @@ class Camera(NamedTuple):
         return Camera(t=jnp.float32(0.0))
 
 
+def generate_rays_flat(
+    camera: Camera,
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    jitter: jnp.ndarray,
+    full_height: int,
+    full_width: int,
+):
+    """Primary rays for an arbitrary pixel enumeration.
+
+    Args:
+      camera: the (turntable) camera.
+      rows, cols: (N,) absolute pixel coordinates (any order — the block-tiled
+        order from render/order.py in the Pallas path).
+      jitter: (2, N) uniforms in [0, 1) for the AA jitter (the reference's
+        noiseSample.xy, renderer/Shaders.metal:91-92).
+      full_height, full_width: image resolution.
+
+    Returns:
+      origins (3, N), directions (3, N), float32.
+    """
+    aspect = jnp.float32(full_height) / jnp.float32(full_width)
+
+    ct, st = jnp.cos(camera.t), jnp.sin(camera.t)
+    side = jnp.stack([ct, jnp.float32(0.0), st])          # (3,)
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    view = jnp.stack([st, jnp.float32(0.0), -ct])
+
+    x = cols.astype(jnp.float32)
+    y = jnp.float32(full_height - 1) - rows.astype(jnp.float32)  # rows count bottom-up
+
+    du = (jitter[0] * 2.0 - 1.0) / jnp.float32(full_width - 1)
+    dv = (jitter[1] * 2.0 - 1.0) / jnp.float32(full_height - 1)
+    ncx = 2.0 * x / jnp.float32(full_width - 1) - 1.0
+    ncy = 2.0 * y / jnp.float32(full_height - 1) - 1.0
+
+    dx = du + ncx
+    dy = dv + ncy * aspect
+    directions = (
+        side[:, None] * dx[None, :] + up[:, None] * dy[None, :] + view[:, None]
+    )
+    directions = normalize(directions)
+    origin = up - view * 2.35
+    origins = jnp.broadcast_to(origin[:, None], directions.shape)
+    return origins, directions
+
+
 def generate_rays(
     camera: Camera,
     height: int,
@@ -40,43 +87,9 @@ def generate_rays(
     full_height: int | None = None,
     full_width: int | None = None,
 ):
-    """Build primary rays for every pixel (or for one row-tile of the image).
-
-    Args:
-      camera: the (turntable) camera.
-      height, width: tile resolution.
-      jitter: (2, H*W) uniforms in [0, 1) for the AA jitter (the reference's
-        noiseSample.xy, renderer/Shaders.metal:91-92).
-      row0: absolute top row of this tile (for sharded rendering).
-      full_height, full_width: full image resolution (defaults: the tile's).
-
-    Returns:
-      origins (3, H*W), directions (3, H*W), float32, row-major pixel order.
-    """
+    """Row-major convenience wrapper over :func:`generate_rays_flat`."""
     full_height = full_height or height
     full_width = full_width or width
-    aspect = jnp.float32(full_height) / jnp.float32(full_width)
-
-    ct, st = jnp.cos(camera.t), jnp.sin(camera.t)
-    side = jnp.stack([ct, jnp.float32(0.0), st])          # (3,)
-    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    view = jnp.stack([st, jnp.float32(0.0), -ct])
-
-    x = jnp.arange(width, dtype=jnp.float32)[None, :]      # column, left -> right
-    row = row0 + jnp.arange(height, dtype=jnp.float32)[:, None]
-    y = jnp.float32(full_height - 1) - row                 # reference counts rows bottom-up
-
-    du = (jitter[0] * 2.0 - 1.0) / jnp.float32(full_width - 1)
-    dv = (jitter[1] * 2.0 - 1.0) / jnp.float32(full_height - 1)
-    ncx = (2.0 * x / jnp.float32(full_width - 1) - 1.0)    # (1, W)
-    ncy = (2.0 * y / jnp.float32(full_height - 1) - 1.0)   # (H, 1)
-
-    dx = du + jnp.broadcast_to(ncx, (height, width)).reshape(-1)
-    dy = dv + jnp.broadcast_to(ncy * aspect, (height, width)).reshape(-1)
-    directions = (
-        side[:, None] * dx[None, :] + up[:, None] * dy[None, :] + view[:, None]
-    )
-    directions = normalize(directions)
-    origin = up - view * 2.35
-    origins = jnp.broadcast_to(origin[:, None], directions.shape)
-    return origins, directions
+    rows = row0 + jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+    cols = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+    return generate_rays_flat(camera, rows, cols, jitter, full_height, full_width)

@@ -44,6 +44,55 @@ class Hit(NamedTuple):
         return jnp.isfinite(self.t)
 
 
+class HitShade(NamedTuple):
+    """A hit plus everything the shading core needs — produced directly by the
+    intersector so the hot loop contains no large gathers (the TPU's weakness).
+
+    The reference equivalent is ``Intersection`` + the per-thread
+    TriangleReference/vertex/material fetches at the top of
+    ``intersectionHandler`` (reference: renderer/Shaders.metal:121-140).
+    """
+
+    t: jnp.ndarray       # (N,) float32, +inf on miss
+    u: jnp.ndarray       # (N,)
+    v: jnp.ndarray       # (N,)
+    tri: jnp.ndarray     # (N,) int32 ORIGINAL triangle index, 0 on miss
+    mat: jnp.ndarray     # (N,) int32 material id, 0 on miss
+    light: jnp.ndarray   # (N,) int32 light-table index, -1 if none/miss
+    pos: jnp.ndarray     # (3, N) interpolated hit position
+    normal: jnp.ndarray  # (3, N) interpolated unit shading normal
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.isfinite(self.t)
+
+
+def shade_from_scene(scene, hit: Hit) -> HitShade:
+    """Expand a bare Hit into a HitShade with XLA gathers from the scene SoA.
+
+    Used by the brute/CPU backends; the Pallas backend produces HitShade
+    in-kernel instead (gather-free).
+    """
+    from ..core.geometry import interpolate  # local import to avoid a cycle
+
+    tri = jnp.where(hit.valid, hit.tri, 0)
+    pos, nrm = interpolate(
+        scene.p0[:, tri], scene.p1[:, tri], scene.p2[:, tri],
+        scene.n0[:, tri], scene.n1[:, tri], scene.n2[:, tri],
+        hit.uvw,
+    )
+    return HitShade(
+        t=hit.t,
+        u=hit.u,
+        v=hit.v,
+        tri=tri,
+        mat=scene.material_id[tri],
+        light=jnp.where(hit.valid, scene.light_index[tri], -1),
+        pos=pos,
+        normal=nrm,
+    )
+
+
 def _components(a: jnp.ndarray):
     """Split a (3, N) component-major vector array."""
     return a[0], a[1], a[2]

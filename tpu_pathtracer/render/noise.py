@@ -4,19 +4,23 @@ Two modes (see :class:`tpu_pathtracer.config.NoiseMode`):
 
 * **PRNG** — counter-based PCG4D hashing (ops/rng.py): every uniform is a pure
   function of (absolute pixel id, frame, bounce, purpose, seed).  Independent
-  per pixel and per use, and bit-identical regardless of device count or tile
-  sharding — the property that makes parallel/ renders exactly equal to
-  single-chip renders.  This replaces — and fixes — the reference's
-  wall-clock-seeded mt19937 noise buffers (reference: renderer/Renderer.mm:109-129,
-  485-497), whose 64x64 tiling correlates pixels 64 apart and whose one float4
-  is reused for light selection, lobe choice AND bounce direction within a
-  bounce (reference: renderer/Shaders.metal:135-138, 152-159, 204).
+  per pixel and per use, and bit-identical regardless of device count, tile
+  sharding or pixel enumeration order — the property that makes parallel/
+  renders exactly equal to single-chip renders.  This replaces — and fixes —
+  the reference's wall-clock-seeded mt19937 noise buffers (reference:
+  renderer/Renderer.mm:109-129, 485-497), whose 64x64 tiling correlates pixels
+  64 apart and whose one float4 is reused for light selection, lobe choice AND
+  bounce direction within a bounce (reference: renderer/Shaders.metal:135-138,
+  152-159, 204).
 
 * **TILED** — statistical parity mode reproducing the reference's noise
   plumbing: a 64x64 float4 tile per (frame, bounce), indexed with the
   reference's offset formula, with the same component swizzles and intra-bounce
   reuse.  Useful for studying how much image quality the reference loses to its
   correlated sampling.
+
+All functions take the pixel enumeration as explicit (rows, cols) arrays (see
+render/order.py) so any traversal order yields identical samples per pixel.
 """
 
 from __future__ import annotations
@@ -36,13 +40,13 @@ def key_salt(key: jnp.ndarray) -> jnp.ndarray:
     return data[0] ^ (data[-1] * jnp.uint32(0x9E3779B9))
 
 
-def pixel_ids(
-    height: int, width: int, row0, full_height: int, full_width: int
-) -> jnp.ndarray:
-    """(H*W,) absolute pixel ids for a row-tile starting at ``row0``."""
-    r = row0 + jnp.arange(height, dtype=jnp.uint32)[:, None]
-    c = jnp.arange(width, dtype=jnp.uint32)[None, :]
-    return (r * jnp.uint32(full_width) + c).reshape(-1)
+def _pids(rows, cols, full_width: int) -> jnp.ndarray:
+    return rows.astype(jnp.uint32) * jnp.uint32(full_width) + cols.astype(jnp.uint32)
+
+
+def pids_from_order(order, full_width: int) -> jnp.ndarray:
+    """(N,) absolute pixel ids for a PixelOrder."""
+    return _pids(order.rows, order.cols, full_width)
 
 
 def _tile(cfg: RenderConfig, key, bounce) -> jnp.ndarray:
@@ -51,52 +55,46 @@ def _tile(cfg: RenderConfig, key, bounce) -> jnp.ndarray:
     return jax.random.uniform(k, (nd * nd, 4), jnp.float32)
 
 
-def _tile_lookup(cfg: RenderConfig, tile, frame, bounce, height, width, row0, full_height):
+def _tile_lookup(cfg, tile, frame, bounce, rows, cols, full_height):
     """noiseIndex = ((x + bounce + frame/3) % ND) + ((y + bounce + frame/5) % ND) * ND
     (reference: renderer/Shaders.metal:135-138); y counts rows bottom-up."""
     nd = cfg.noise_dimensions
-    x = jnp.arange(width, dtype=jnp.int32)[None, :]
-    row = row0 + jnp.arange(height, dtype=jnp.int32)[:, None]
-    y = (full_height - 1) - row
-    ix = (x + bounce + frame // 3) % nd
+    y = (full_height - 1) - rows
+    ix = (cols + bounce + frame // 3) % nd
     iy = (y + bounce + frame // 5) % nd
-    return tile[(ix + iy * nd).reshape(-1)]  # (H*W, 4)
+    return tile[ix + iy * nd]  # (N, 4)
 
 
 def camera_jitter(
-    cfg: RenderConfig, key, frame, height, width, row0=0,
-    full_height=None, full_width=None,
+    cfg: RenderConfig, key, frame, pids, full_height: int, full_width: int
 ) -> jnp.ndarray:
-    """(2, H*W) uniforms for the AA jitter (reference: renderer/Shaders.metal:91)."""
-    full_height = full_height or height
-    full_width = full_width or width
+    """(2, N) uniforms for the AA jitter (reference: renderer/Shaders.metal:91)."""
     if cfg.noise_mode == NoiseMode.TILED:
         nd = cfg.noise_dimensions
         tile = _tile(cfg, key, -1)
-        x = jnp.arange(width, dtype=jnp.int32)[None, :] % nd
-        row = row0 + jnp.arange(height, dtype=jnp.int32)[:, None]
-        y = ((full_height - 1) - row) % nd
-        return tile[(x + y * nd).reshape(-1)][:, :2].T  # (2, H*W)
-    pid = pixel_ids(height, width, row0, full_height, full_width)
+        rows = (pids // full_width).astype(jnp.int32)
+        cols = (pids % full_width).astype(jnp.int32)
+        x = cols % nd
+        y = ((full_height - 1) - rows) % nd
+        return tile[x + y * nd][:, :2].T  # (2, N)
     salt = key_salt(key) ^ jnp.uint32(_CAMERA_SALT)
-    return rng_ops.uniforms(pid, frame, 0, salt, 2)  # (2, H*W)
+    return rng_ops.uniforms(pids, frame, 0, salt, 2)  # (2, N)
 
 
 def bounce_uniforms(
-    cfg: RenderConfig, key, frame, bounce, height, width, row0=0,
-    full_height=None, full_width=None,
+    cfg: RenderConfig, key, frame, bounce, pids,
+    full_height: int, full_width: int,
 ) -> dict:
-    """Per-bounce uniforms for one wavefront of H*W rays.
+    """Per-bounce uniforms for one wavefront of N rays.
 
     Keys: ``light_select`` (N,), ``light_bary`` (2, N), ``lobe`` (N,),
     ``bounce_dir`` (2, N) — component-major like everything else.
     """
-    full_height = full_height or height
-    full_width = full_width or width
     if cfg.noise_mode == NoiseMode.TILED:
+        rows = (pids // full_width).astype(jnp.int32)
+        cols = (pids % full_width).astype(jnp.int32)
         smp = _tile_lookup(
-            cfg, _tile(cfg, key, bounce), frame, bounce,
-            height, width, row0, full_height,
+            cfg, _tile(cfg, key, bounce), frame, bounce, rows, cols, full_height
         )
         sx, sy, sz, sw = smp[:, 0], smp[:, 1], smp[:, 2], smp[:, 3]
         return {
@@ -105,8 +103,7 @@ def bounce_uniforms(
             "lobe": sy,                                   # noiseSample.y
             "bounce_dir": jnp.stack([sz, sw], axis=0),    # noiseSample.zw
         }
-    pid = pixel_ids(height, width, row0, full_height, full_width)
-    u = rng_ops.uniforms(pid, frame, bounce, key_salt(key), 6)
+    u = rng_ops.uniforms(pids, frame, bounce, key_salt(key), 6)
     return {
         "light_select": u[0],
         "light_bary": u[1:3],

@@ -1,0 +1,134 @@
+"""Host orchestrator: progressive renderer with HUD, save, and checkpointing.
+
+The TPU-native counterpart of the reference's ``Renderer`` Objective-C++ class
+(reference: renderer/Renderer.mm): owns scene buffers + acceleration structure,
+drives the jitted frame step, tracks the EMA performance HUD
+(reference: renderer/Renderer.mm:631-637), and implements the image-save the
+reference left as an empty stub (reference: renderer/Renderer.mm:626-629).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from .accel import build_layout
+from .config import RenderConfig
+from .models.camera import Camera
+from .render.state import RenderState, init_state, render_frame
+from .render.wavefront import make_intersector
+from .scene import Scene, load_scene, scene_path
+from .scene.assets import DEFAULT_SCENE
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene | str = DEFAULT_SCENE,
+        width: int = 960,
+        height: int = 540,
+        cfg: RenderConfig | None = None,
+        seed: int = 0,
+        camera: Camera | None = None,
+        leaf_size: int = 16,
+    ):
+        self.cfg = cfg or RenderConfig()
+        self.scene = (
+            scene if isinstance(scene, Scene)
+            else load_scene(scene_path(scene), samples=self.cfg.spectrum_samples)
+        )
+        self.camera = camera or Camera.reference_default()
+        self.layout = (
+            None if self.cfg.intersector == "brute"
+            else build_layout(self.scene, leaf_size=leaf_size)
+        )
+        self._intersect = make_intersector(self.scene, self.cfg, self.layout)
+        self._seed = seed
+
+        cfg_ = self.cfg
+        camera_ = self.camera
+        intersect_ = self._intersect
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _step(state: RenderState, scene: Scene) -> RenderState:
+            return render_frame(state, scene, cfg_, camera_, intersect_)
+
+        self._step = _step
+        self.reset(width, height)
+
+    # -- reference: mtkView:drawableSizeWillChange: (Renderer.mm:640-657) --
+    def reset(self, width: int | None = None, height: int | None = None) -> None:
+        width = width or self.state.width
+        height = height or self.state.height
+        self.state = init_state(height, width, self._seed, self.cfg.spectrum_samples)
+        self._avg_rays_per_sec = 0.0
+        self._avg_frame_time = 0.0
+        self._last_time = None
+
+    @property
+    def frame_index(self) -> int:
+        return int(self.state.frame_index)
+
+    def step(self) -> None:
+        """Render one progressive frame (respects cfg.max_frames like the
+        reference's MAX_FRAMES gate, renderer/Renderer.mm:589-591)."""
+        if self.cfg.max_frames and self.frame_index >= self.cfg.max_frames:
+            return
+        t0 = time.perf_counter()
+        self.state = self._step(self.state, self.scene)
+        jax.block_until_ready(self.state.frame_index)
+        # force completion through the transfer path (remote backends may
+        # report ready before execution finishes)
+        _ = np.asarray(self.state.frame_index)
+        frame_time = time.perf_counter() - t0
+        pixels = self.state.height * self.state.width
+        # EMA-smoothed HUD, same blend as the reference (Renderer.mm:631-637)
+        self._avg_rays_per_sec = 0.5 * (self._avg_rays_per_sec + pixels / frame_time)
+        self._avg_frame_time = 0.5 * (self._avg_frame_time + frame_time)
+
+    def run(self, frames: int) -> None:
+        for _ in range(frames):
+            self.step()
+
+    def hud(self) -> str:
+        """Window-title HUD string (reference: renderer/Renderer.mm:636-637)."""
+        return (
+            f"Frame: {self.frame_index} "
+            f"[{self._avg_rays_per_sec / 1e6:0.2f} Mrays/s, "
+            f"{self._avg_frame_time * 1e3:.2f} ms/frame]"
+        )
+
+    def image(self, tonemapped: bool = False) -> np.ndarray:
+        """(H, W, S) accumulated radiance (optionally display-transformed)."""
+        img = np.asarray(self.state.accum)
+        if tonemapped:
+            from .core.color import to_srgb, tonemap_exposure
+
+            if self.cfg.enable_tone_mapping:
+                img = np.asarray(tonemap_exposure(img))
+            img = np.asarray(to_srgb(img))
+        return img
+
+    # -- the reference's saveCurrentImage is an unimplemented stub; here it works --
+    def save_exr(self, path: str) -> None:
+        from .io.exr import write_exr
+
+        write_exr(path, self.image(), half=True)
+
+    def save_png(self, path: str) -> None:
+        from .io.png import write_png
+
+        write_png(path, self.image(tonemapped=True))
+
+    def save_checkpoint(self, path: str) -> None:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state)
+
+    def load_checkpoint(self, path: str) -> None:
+        from .io.checkpoint import load_checkpoint
+
+        self.state = load_checkpoint(path)
