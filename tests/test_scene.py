@@ -26,7 +26,7 @@ def test_cornellbox_counts():
     assert li[8] == 0 and li[9] == 1 and (li[:8] == -1).all() and (li[10:] == -1).all()
     # all materials diffuse; emissive = Ka 5 4 3 on 'light'
     assert (np.asarray(scene.mat_type) == MATERIAL_DIFFUSE).all()
-    np.testing.assert_allclose(np.asarray(scene.light_emissive[0]), [5.0, 4.0, 3.0])
+    np.testing.assert_allclose(np.asarray(scene.light_emissive[:, 0]), [5.0, 4.0, 3.0])
 
 
 def test_water_plastic_material_classification():
@@ -59,12 +59,12 @@ def test_whitebox_shares_cornellbox_mtl():
     assert scene.num_triangles == 12
     assert scene.num_lights == 2
     np.testing.assert_allclose(
-        np.asarray(scene.light_emissive[0]), [3.1415926536] * 3, rtol=1e-6
+        np.asarray(scene.light_emissive[:, 0]), [3.1415926536] * 3, rtol=1e-6
     )
 
 
 def test_normals_unit_length():
     scene = load_scene(scene_path("CornellBox-Water-mirror"))
     for n in (scene.n0, scene.n1, scene.n2):
-        lens = np.linalg.norm(np.asarray(n), axis=1)
+        lens = np.linalg.norm(np.asarray(n), axis=0)  # (3, T) component-major
         np.testing.assert_allclose(lens, 1.0, atol=1e-3)

@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from ..models.camera import Camera, generate_rays
-from ..render.noise import bounce_uniforms, camera_jitter
+from ..models.camera import Camera, generate_rays_flat
+from ..render.noise import bounce_uniforms, camera_jitter, pids_from_order
+from ..render.order import make_order
 from ..render.wavefront import (
     initial_path_state,
     make_brute_intersector,
@@ -28,13 +29,17 @@ from ..scene.scene import Scene
 @partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def _probe(scene: Scene, cfg: RenderConfig, height: int, width: int, key):
     frame = jnp.int32(0)
-    jitter = camera_jitter(cfg, key, frame, height, width)
-    origins, directions = generate_rays(Camera.reference_default(), height, width, jitter)
-    state = initial_path_state(origins, directions, cfg.spectrum_samples)
+    order = make_order(height, width)
+    pids = pids_from_order(order, width)
+    jitter = camera_jitter(cfg, key, frame, pids, height, width)
+    origins, directions = generate_rays_flat(
+        Camera.reference_default(), order.rows, order.cols, jitter, height, width
+    )
+    state = initial_path_state(origins, directions, cfg.spectrum_samples, pids)
     intersect = make_brute_intersector(scene)
     total = jnp.zeros((), jnp.float32)
     for b in range(cfg.max_path_length):  # unrolled: python loop, static depth
-        uniforms = bounce_uniforms(cfg, key, frame, b, height, width)
+        uniforms = bounce_uniforms(cfg, key, frame, b, pids, height, width)
         state, stats = trace_bounce(
             scene, cfg, intersect, jnp.int32(b), state, uniforms, with_stats=True
         )
