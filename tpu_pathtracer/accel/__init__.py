@@ -14,24 +14,37 @@ from .layout import BVHLayout, dfs_layout
 from .lbvh import BVH, build, morton_codes  # noqa: F401
 
 
-def build_layout(scene: Scene, leaf_size: int = 4) -> BVHLayout:
+def build_layout(
+    scene: Scene, leaf_size: int = 4, builder: str = "auto"
+) -> BVHLayout:
     """Build the traversal-ready BVH for a scene.
 
-    The build itself is a one-shot host-side step (like the reference's
-    startup ``rebuild``), so it runs on the CPU backend when one is available —
-    device placement of the *resulting* layout arrays follows the caller's
-    default device (HBM on TPU).
+    ``builder``: "sah" (native C++ binned-SAH, best trees), "lbvh" (jittable
+    JAX morton/Karras build), or "auto" (SAH when the native library is
+    available, LBVH otherwise).  The build is a one-shot host-side step (like
+    the reference's startup ``rebuild``); the LBVH path runs on the CPU
+    backend when one is available — device placement of the *resulting*
+    layout arrays follows the caller's default device (HBM on TPU).
     """
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
+    bvh = None
+    if builder in ("auto", "sah"):
+        from . import native
+
+        if native.available():
+            bvh = native.build_sah(scene.p0, scene.p1, scene.p2, leaf_size)
+        elif builder == "sah":
+            raise RuntimeError("native SAH builder unavailable")
+    if bvh is None:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
+                bvh = jax.block_until_ready(bvh)
+        else:
             bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
-            bvh = jax.block_until_ready(bvh)
-    else:
-        bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
     return dfs_layout(
         bvh,
         normals=(scene.n0, scene.n1, scene.n2),

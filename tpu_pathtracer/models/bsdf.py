@@ -90,18 +90,26 @@ def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon):
     return bsdf, pdf
 
 
-def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior):
+def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
+                  quirks: bool = True):
     """Sample the next bounce direction -> (w_o, bsdf, pdf, new_ior).
 
     Equivalent of ``generateNextBounce`` (reference:
     renderer/KernelHelpers.h:116-179).  ``dir_u`` is (2, N) — the reference's
     noiseSample.zw — used for the cosine-hemisphere warp; ``w_i``/``n`` are
     (3, N); returns ((3, N) w_o, (N,) bsdf, (N,) pdf, (N,) new_ior).
+
+    ``quirks=True`` keeps the reference's specular weighting bug: a perfect
+    mirror bounce multiplies throughput by cos(theta)
+    (reference: renderer/KernelHelpers.h:131,146,163), darkening every
+    specular path; ``quirks=False`` uses the physically correct weight 1.
     """
     mirror_dir = reflect(w_i, n)
     diffuse_dir = generate_diffuse_bounce(dir_u, n)
 
     mirror_cos = dot(mirror_dir, n)
+    if not quirks:
+        mirror_cos = jnp.ones_like(mirror_cos)
     diffuse_val = (1.0 / PI) * dot(diffuse_dir, n)
 
     # Bounce generation uses the ray's tracked IoR as eta_out

@@ -54,6 +54,7 @@ def _traverse_kernel(
     num_nodes: int,
     max_leaf: int,
     t_min: float,
+    resolve: bool,
 ):
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -80,7 +81,10 @@ def _traverse_kernel(
         return jnp.min(carry[0]) < sentinel
 
     def body(carry):
-        cur, best_t, best_i, best_u, best_v = carry
+        if resolve:
+            cur, best_t, best_i, best_u, best_v = carry
+        else:
+            cur, best_t, best_i, best_u, best_v, best_orig = carry
         node = jnp.min(cur)                       # scalar: next DFS node
         row = nodes_ref[node, :]
         mask = cur == node
@@ -140,14 +144,32 @@ def _traverse_kernel(
             best_i = jnp.where(ok, tri, best_i)
             best_u = jnp.where(ok, u, best_u)
             best_v = jnp.where(ok, v, best_v)
+            if not resolve:
+                # occlusion queries only need the original tri id: latch it
+                # from the scalar row now and skip phase 2 entirely
+                best_orig = jnp.where(ok, trow[9], best_orig)
 
         nxt = jnp.where(hit_box & jnp.logical_not(is_leaf), node + 1, miss_link)
         cur = jnp.where(mask, nxt, cur)
-        return cur, best_t, best_i, best_u, best_v
+        if resolve:
+            return cur, best_t, best_i, best_u, best_v
+        return cur, best_t, best_i, best_u, best_v, best_orig
 
-    _, best_t, best_i, best_u, best_v = jax.lax.while_loop(
-        cond, body, (cur0, best_t0, best_i0, zeros, zeros)
-    )
+    if resolve:
+        _, best_t, best_i, best_u, best_v = jax.lax.while_loop(
+            cond, body, (cur0, best_t0, best_i0, zeros, zeros)
+        )
+    else:
+        _, best_t, best_i, best_u, best_v, best_orig = jax.lax.while_loop(
+            cond, body, (cur0, best_t0, best_i0, zeros, zeros, zeros)
+        )
+        out_ref[0, :] = best_t
+        out_ref[1, :] = best_u
+        out_ref[2, :] = best_v
+        out_ref[3, :] = best_orig
+        for k in range(4, 12):
+            out_ref[k, :] = zeros
+        return
 
     # ---------------- phase 2: shading-payload resolve ----------------
     # Serve each *unique* hit triangle once: scalar row fetch, broadcast
@@ -211,6 +233,7 @@ def intersect_bvh_pallas(
     active=None,
     tile: int = DEFAULT_TILE,
     t_max=None,
+    resolve: bool = True,
 ) -> HitShade:
     """o/d: (3, N) rays -> HitShade (fully resolved, gather-free).
 
@@ -239,6 +262,7 @@ def intersect_bvh_pallas(
         num_nodes=lay.num_nodes,
         max_leaf=lay.max_leaf,
         t_min=t_min,
+        resolve=resolve,
     )
     out = pl.pallas_call(
         kernel,
@@ -270,8 +294,10 @@ def intersect_bvh_pallas(
 
 def make_pallas_intersector(lay: BVHLayout, t_min: float = 0.0, tile: int = DEFAULT_TILE):
     def fn(o, d, active, t_max=None):
+        # a capped query is an occlusion-style query: skip payload resolve
         return intersect_bvh_pallas(
-            o, d, lay, t_min=t_min, active=active, tile=tile, t_max=t_max
+            o, d, lay, t_min=t_min, active=active, tile=tile, t_max=t_max,
+            resolve=t_max is None,
         )
 
     return fn

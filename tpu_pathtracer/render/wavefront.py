@@ -91,28 +91,35 @@ def _morton5(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
-    """Wavefront sort key: (dead?, direction octant, origin Morton cell).
+    """Wavefront sort key: (dead?, coarse origin cell, direction, fine cell).
 
     Dead lanes sort last (whole traversal tiles of them exit in one step —
-    the compaction half); live lanes group by direction octant then by a
-    32^3 spatial cell (the coherence half).
+    the compaction half); live lanes group by an 8^3 spatial cell, then by a
+    16x16 octahedral direction bin, then by the finer 32^3 Morton bits — the
+    layout that measured fastest for diffuse-bounce wavefronts on v5e.
     """
     d = state.direction
     o = state.origin
-    octant = (
-        (d[0] < 0).astype(jnp.int32) * 4
-        + (d[1] < 0).astype(jnp.int32) * 2
-        + (d[2] < 0).astype(jnp.int32)
-    )
-    cell = jnp.int32(0)
-    mort = jnp.zeros_like(octant)
+    # 16x16 octahedral direction bin
+    anorm = jnp.abs(d[0]) + jnp.abs(d[1]) + jnp.abs(d[2])
+    u = d[0] / anorm
+    v = d[1] / anorm
+    uo = jnp.where(d[2] < 0, (1.0 - jnp.abs(v)) * jnp.sign(u), u)
+    vo = jnp.where(d[2] < 0, (1.0 - jnp.abs(u)) * jnp.sign(v), v)
+    qu = jnp.clip((uo * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.int32)
+    qv = jnp.clip((vo * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.int32)
+    octa = (qu << 4) | qv
+
+    mort = jnp.zeros_like(octa)
     for axis in range(3):
         q = jnp.clip(
             ((o[axis] - wmin[axis]) * winv[axis] * 32.0), 0.0, 31.0
         ).astype(jnp.int32)
         mort = mort | (_morton5(q) << (2 - axis))
+    coarse = mort >> 6     # top 9 bits: 8^3 cell
+    fine = mort & 63       # bottom 6 bits
     dead = jnp.logical_not(state.alive).astype(jnp.int32)
-    return (dead << 30) | (octant << 24) | mort
+    return (dead << 30) | (coarse << 20) | (octa << 12) | fine
 
 
 def sort_wavefront(state: PathState, wmin, winv) -> PathState:
@@ -272,7 +279,8 @@ def trace_bounce(
 
     # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
     w_o, nb_bsdf, nb_pdf, nb_ior = bsdf_lib.sample_bounce(
-        m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior
+        m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior,
+        quirks=cfg.reference_quirks,
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
     throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[None]
