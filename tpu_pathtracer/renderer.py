@@ -34,6 +34,7 @@ class Renderer:
         seed: int = 0,
         camera: Camera | None = None,
         leaf_size: int = 16,
+        builder: str = "auto",
     ):
         self.cfg = cfg or RenderConfig()
         self.scene = (
@@ -43,7 +44,7 @@ class Renderer:
         self.camera = camera or Camera.reference_default()
         self.layout = (
             None if self.cfg.intersector == "brute"
-            else build_layout(self.scene, leaf_size=leaf_size)
+            else build_layout(self.scene, leaf_size=leaf_size, builder=builder)
         )
         self._intersect = make_intersector(self.scene, self.cfg, self.layout)
         self._seed = seed
