@@ -32,7 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
     p.add_argument("--no-pallas", action="store_true")
-    p.add_argument("--leaf-size", type=int, default=4)
+    p.add_argument("--leaf-size", type=int, default=16)
     p.add_argument("--no-accumulate", action="store_true")
     p.add_argument("--tone-map", action="store_true")
     p.add_argument("--noise", choices=("prng", "tiled"), default="prng")
@@ -47,6 +47,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compare-scale", type=float, default=10.0)
     p.add_argument("--compare-out", help="write the comparison image (PNG)")
     p.add_argument("--hud-every", type=int, default=8)
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="write a progressive PNG preview every N frames")
+    p.add_argument("--preview-path", default="preview.png")
+    p.add_argument("--profile-dir", help="capture a jax.profiler trace here")
     return p
 
 
@@ -72,10 +76,16 @@ def main(argv=None) -> int:
         r.load_checkpoint(args.resume)
         print(f"resumed at frame {r.frame_index}")
 
+    if args.profile_dir:
+        r.profile(args.profile_dir, frames=min(args.frames, 3))
+        print("profile trace in", args.profile_dir)
+
     for i in range(args.frames):
         r.step()
         if args.hud_every and (i + 1) % args.hud_every == 0:
             print(r.hud(), flush=True)
+        if args.preview_every and (i + 1) % args.preview_every == 0:
+            r.save_png(args.preview_path)
     print(r.hud())
 
     if args.exr:

@@ -50,8 +50,9 @@ def pids_from_order(order, full_width: int) -> jnp.ndarray:
 
 
 def _tile(cfg: RenderConfig, key, bounce) -> jnp.ndarray:
+    # bounce -1 marks the camera tile; mask to keep fold_in data unsigned
     nd = cfg.noise_dimensions
-    k = jax.random.fold_in(jax.random.fold_in(key, 0x7113D), bounce)
+    k = jax.random.fold_in(jax.random.fold_in(key, 0x7113D), bounce & 0xFFFF)
     return jax.random.uniform(k, (nd * nd, 4), jnp.float32)
 
 

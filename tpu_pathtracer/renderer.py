@@ -133,3 +133,10 @@ class Renderer:
         from .io.checkpoint import load_checkpoint
 
         self.state = load_checkpoint(path)
+
+    def profile(self, trace_dir: str, frames: int = 3) -> None:
+        """Capture a device profile of the frame step (the counterpart of the
+        reference's Xcode GPU-capture debug groups, renderer/Renderer.mm:505);
+        view with TensorBoard or xprof."""
+        with jax.profiler.trace(trace_dir):
+            self.run(frames)
