@@ -33,6 +33,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--leaf-size", type=int, default=16)
+    p.add_argument("--builder", choices=("auto", "sah", "lbvh"), default="auto",
+                   help="BVH builder: native C++ SAH or jittable JAX LBVH")
     p.add_argument("--no-accumulate", action="store_true")
     p.add_argument("--tone-map", action="store_true")
     p.add_argument("--noise", choices=("prng", "tiled"), default="prng")
@@ -70,7 +72,7 @@ def main(argv=None) -> int:
     )
     r = Renderer(
         scene=args.scene, width=args.width, height=args.height,
-        cfg=cfg, seed=args.seed, leaf_size=args.leaf_size,
+        cfg=cfg, seed=args.seed, leaf_size=args.leaf_size, builder=args.builder,
     )
     if args.resume:
         r.load_checkpoint(args.resume)
