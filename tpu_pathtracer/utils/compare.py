@@ -29,15 +29,27 @@ def golden_mask(height: int, width: int) -> np.ndarray:
 
 
 def downsample(img: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Integer-factor box downsample of (H0, W0, C) to (height, width, C)."""
+    """Box downsample of (H0, W0, C) to (height, width, C).
+
+    Integer factors use an exact box mean; other ratios fall back to
+    bin-averaged resampling (each output pixel averages its source bin).
+    """
     h0, w0 = img.shape[:2]
     if (h0, w0) == (height, width):
         return img
-    if h0 % height or w0 % width:
-        raise ValueError(f"{(h0, w0)} not an integer multiple of {(height, width)}")
-    return img.reshape(
-        height, h0 // height, width, w0 // width, *img.shape[2:]
-    ).mean(axis=(1, 3))
+    if h0 % height == 0 and w0 % width == 0:
+        return img.reshape(
+            height, h0 // height, width, w0 // width, *img.shape[2:]
+        ).mean(axis=(1, 3))
+    # non-integer ratio: average source rows/cols binned by output index
+    row_bin = np.minimum((np.arange(h0) * height) // h0, height - 1)
+    col_bin = np.minimum((np.arange(w0) * width) // w0, width - 1)
+    out = np.zeros((height, width, *img.shape[2:]), np.float64)
+    cnt = np.zeros((height, width), np.int64)
+    np.add.at(out, (row_bin[:, None], col_bin[None, :]), img)
+    np.add.at(cnt, (row_bin[:, None], col_bin[None, :]), 1)
+    cnt = cnt.reshape(height, width, *([1] * (img.ndim - 2)))
+    return (out / cnt).astype(img.dtype)
 
 
 def metrics(image: np.ndarray, golden: np.ndarray, mask: np.ndarray | None = None):
