@@ -39,7 +39,17 @@ def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_tiles is None:
         n_tiles = len(devices) // n_spp
+    if n_tiles < 1 or n_spp < 1:
+        raise ValueError(f"mesh axes must be >= 1, got tiles={n_tiles} spp={n_spp}")
     use = n_tiles * n_spp
+    if len(devices) < use:
+        raise ValueError(
+            f"({n_tiles} tiles x {n_spp} spp) mesh needs {use} devices, but "
+            f"only {len(devices)} are available "
+            f"({[d.platform for d in devices]}); for a virtual mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> and "
+            "jax.config.update('jax_platforms', 'cpu') before any device query"
+        )
     dev = np.asarray(devices[:use]).reshape(n_tiles, n_spp)
     return Mesh(dev, axis_names=("tiles", "spp"))
 
