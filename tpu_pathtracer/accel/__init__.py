@@ -15,7 +15,7 @@ from .lbvh import BVH, build, morton_codes  # noqa: F401
 
 
 def build_layout(
-    scene: Scene, leaf_size: int = 4, builder: str = "auto"
+    scene: Scene, leaf_size: int = 16, builder: str = "auto"
 ) -> BVHLayout:
     """Build the traversal-ready BVH for a scene.
 

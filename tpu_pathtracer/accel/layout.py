@@ -36,6 +36,7 @@ import numpy as np
 from .lbvh import BVH
 
 MAX_LEAF = 63  # tri_count field width (6 bits)
+PREPASS_MAX = 64  # rows in the big-triangle pre-pass block
 
 
 class BVHLayout(NamedTuple):
@@ -46,6 +47,17 @@ class BVHLayout(NamedTuple):
     num_nodes: int               # M (sentinel id == M)
     num_tris: int
     max_leaf: int                # max tri_count over leaves (static unroll bound)
+    prepass: jnp.ndarray         # (PREPASS_MAX, 24) largest-area tri rows,
+                                 # col 21 = sorted-row index (best_t priming)
+
+    # window-walk kernel tables (ops/pallas_traverse.py window kernel):
+    # nodes padded to a multiple of 8 rows so any aligned 8-row window is
+    # fetchable; meta4 = [miss, first*64+count, tri_start, 0] padded 8 rows
+    # past that; tris8 = tris padded to a multiple of 8 rows, col 21 = DFS
+    # leaf node id owning each row (the window kernel's MT predicate).
+    nodes8: jnp.ndarray          # (M8, 8) float32
+    meta4: jnp.ndarray           # (M8 + 8, 4) int32
+    tris8: jnp.ndarray           # (T8, 24) float32
 
     # component-major copies for the pure-JAX traversal path
     bmin: jnp.ndarray            # (3, M)
@@ -105,17 +117,42 @@ def dfs_layout(
     if max_leaf > MAX_LEAF:
         raise ValueError(f"leaf size {max_leaf} exceeds packable {MAX_LEAF}")
 
-    meta = ((out_first.astype(np.uint32) << 6) | counts.astype(np.uint32)).astype(np.int32)
-    nodes = np.zeros((m, 8), np.float32)
-    nodes[:, 0:3] = out_bmin.T
-    nodes[:, 3:6] = out_bmax.T
-    nodes_meta = np.stack([new_miss, meta], axis=1).astype(np.int32)
-
+    # The window kernel requires leaf triangle runs to appear in DFS leaf
+    # order (so a window's triangles are one contiguous range).  Builders
+    # partition the sorted-triangle array left/right, which *should* already
+    # give DFS order, but enforce it by remapping when needed.
     p0 = np.asarray(bvh.p0)
     p1 = np.asarray(bvh.p1)
     p2 = np.asarray(bvh.p2)
     num_tris = p0.shape[1]
     s2o = np.asarray(bvh.sorted_to_orig, np.int64)
+    leaf_mask = counts > 0
+    leaf_pos = np.flatnonzero(leaf_mask)
+    firsts = out_first[leaf_pos]
+    cnts = counts[leaf_pos]
+    contiguous = (
+        len(leaf_pos) > 0
+        and firsts[0] == 0
+        and np.all(firsts[1:] == firsts[:-1] + cnts[:-1])
+        and firsts[-1] + cnts[-1] == num_tris
+    )
+    if not contiguous:
+        # remap sorted-tri order to DFS leaf order
+        perm = np.concatenate(
+            [np.arange(f, f + c) for f, c in zip(firsts, cnts)]
+        ) if len(leaf_pos) else np.arange(0)
+        assert perm.size == num_tris, "leaves must partition the triangles"
+        p0 = p0[:, perm]
+        p1 = p1[:, perm]
+        p2 = p2[:, perm]
+        s2o = s2o[perm]
+        out_first[leaf_pos] = np.cumsum(np.concatenate([[0], cnts[:-1]]))
+
+    meta = ((out_first.astype(np.uint32) << 6) | counts.astype(np.uint32)).astype(np.int32)
+    nodes = np.zeros((m, 8), np.float32)
+    nodes[:, 0:3] = out_bmin.T
+    nodes[:, 3:6] = out_bmax.T
+    nodes_meta = np.stack([new_miss, meta], axis=1).astype(np.int32)
     tris = np.zeros((num_tris + 1, 24), np.float32)  # +1: all-zeros miss row
     tris[:num_tris, 0:3] = p0.T
     tris[:num_tris, 3:6] = (p1 - p0).T
@@ -132,14 +169,61 @@ def dfs_layout(
         # stored +1 so the sentinel row's 0 decodes to light_index = -1
         tris[:num_tris, 20] = np.asarray(light_index)[s2o].astype(np.float32) + 1.0
 
+    # Big-triangle pre-pass block: the PREPASS_MAX largest-area triangles,
+    # tested before the walk to prime best_t (in closed scenes most incoherent
+    # rays terminate on a handful of large wall/floor triangles; a primed
+    # best_t culls the subtrees behind them via the `enter < best_t` test).
+    # Padded with the all-zero sentinel row (det == 0 -> never hits).
+    e1 = tris[:num_tris, 3:6]
+    e2 = tris[:num_tris, 6:9]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    by_area = np.argsort(-area)[:PREPASS_MAX]
+    prepass = np.zeros((PREPASS_MAX, 24), np.float32)
+    prepass[: by_area.size] = tris[by_area]
+    prepass[: by_area.size, 21] = by_area.astype(np.float32)
+
+    # ---- window-walk kernel tables ----
+    # col 21 of the main table = DFS leaf node id owning the row
+    leaf_ids = np.zeros(num_tris, np.float32)
+    for pos in leaf_pos:
+        f, c = out_first[pos], counts[pos]
+        leaf_ids[f:f + c] = pos
+    tris[:num_tris, 21] = leaf_ids
+
+    m8 = max(-(-m // 32) * 32, 32)  # window kernel supports widths up to 32
+    nodes8 = np.zeros((m8, 8), np.float32)
+    nodes8[:m] = nodes
+    nodes8[m:, 0:3] = 1e30   # inverted boxes: never hit
+    nodes8[m:, 3:6] = -1e30
+    # tri_start[n]: first DFS-ordered triangle at-or-after node n
+    tri_start = np.full(m8 + 8, num_tris, np.int32)
+    for n in range(m - 1, -1, -1):
+        if counts[n] > 0:
+            tri_start[n] = out_first[n]
+        else:
+            tri_start[n] = tri_start[n + 1]
+    meta4 = np.zeros((m8 + 8, 4), np.int32)
+    meta4[:m, 0] = new_miss
+    meta4[m:, 0] = m          # sentinel (never followed)
+    meta4[:m, 1] = meta[:]
+    meta4[:, 2] = tri_start
+    # +16 pad rows: MT fetches up to 16 rows from an 8-aligned start
+    t8 = -(-(num_tris + 1) // 8) * 8 + 16
+    tris8 = np.zeros((t8, 24), np.float32)
+    tris8[: num_tris + 1] = tris
+
     return BVHLayout(
         nodes=jnp.asarray(nodes),
         nodes_meta=jnp.asarray(nodes_meta),
         tris=jnp.asarray(tris),
-        sorted_to_orig=jnp.asarray(np.asarray(bvh.sorted_to_orig), jnp.int32),
+        sorted_to_orig=jnp.asarray(s2o, jnp.int32),
         num_nodes=m,
         num_tris=num_tris,
         max_leaf=max_leaf,
+        prepass=jnp.asarray(prepass),
+        nodes8=jnp.asarray(nodes8),
+        meta4=jnp.asarray(meta4),
+        tris8=jnp.asarray(tris8),
         bmin=jnp.asarray(out_bmin),
         bmax=jnp.asarray(out_bmax),
         miss=jnp.asarray(new_miss),

@@ -76,13 +76,32 @@ class RenderConfig:
     use_pallas: bool = True
     # Ray-tile width for the Pallas traversal (also drives the coherent
     # pixel-block ordering in render/order.py).
-    traversal_tile: int = 1536
+    traversal_tile: int = 768
+    # Traversal kernel for nearest-hit queries: "window" (v2: 8-node DFS
+    # windows tested as (8, TILE) vector blocks — fastest for incoherent
+    # wavefronts) or "minwalk" (v1: one node per step).  Occlusion queries
+    # (t_max-capped shadow rays) always use the v1 occlusion path, which
+    # skips payload resolve.
+    traversal_kernel: str = "window"
+    # In-register window chain depth (advance rounds per window fetch).
+    traversal_chain: int = 4
+    # Ray-tile width for occlusion (shadow) queries: coherent + range-capped
+    # walks are short, so bigger tiles amortize per-program cost best.
+    occlusion_tile: int = 3072
+    # Big-triangle pre-pass size: MT-test the K largest triangles before the
+    # walk to prime best_t (K=0 disables; must be a multiple of 8).
+    traversal_prepass: int = 32
     # Sort the wavefront before each secondary bounce by (alive, direction
     # octant, origin Morton cell): dead rays compact into tiles that exit
     # instantly and live rays regain tile coherence (the BASELINE.json
     # "sort-based ray compaction").  One lax.sort with the whole ray state as
     # payload (~26 ms at 2M rays) buys back seconds of divergent traversal.
     sort_rays: bool = True
+    # Sort NEE shadow rays by their own origin Morton code before the
+    # occlusion query (they inherit the path wavefront's order otherwise,
+    # which is sorted by the PREVIOUS hit's geometry — measured 8.7x slower).
+    # The result is scattered back by lane slot; estimator unchanged.
+    sort_shadows: bool = True
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
 

@@ -49,13 +49,17 @@ def _traverse_kernel(
     nodes_ref,     # (M, 8) f32 VMEM
     meta_ref,      # (M, 2) i32 VMEM [miss, first*64+count]
     tris_ref,      # (T+1, 24) f32 VMEM
-    out_ref,       # (12, TILE) f32: t u v orig mat light+1 px py pz nx ny nz
-    *,
+    *rest,         # [pre_ref (P, 24) f32 if n_prepass] + [out_ref]
     num_nodes: int,
     max_leaf: int,
     t_min: float,
     resolve: bool,
+    n_prepass: int = 0,
 ):
+    if n_prepass:
+        pre_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
     oz = rays_ref[2, :]
@@ -75,6 +79,46 @@ def _traverse_kernel(
     best_t0 = t_max
     best_i0 = jnp.full((tile,), num_tris, jnp.int32)  # sentinel tri row
     zeros = jnp.zeros((tile,), jnp.float32)
+    best_u0 = zeros
+    best_v0 = zeros
+    best_orig0 = zeros
+
+    # ---------------- phase 0: big-triangle pre-pass ----------------
+    # Prime best_t against the largest-area triangles (static row fetches,
+    # padded with the zero sentinel row -> det == 0 -> no hit).  In closed
+    # scenes most incoherent rays terminate on a wall/floor triangle, so the
+    # primed best_t culls the subtrees behind it during the walk.
+    for k in range(n_prepass):
+        trow = pre_ref[k, :]
+        px = dy * trow[8] - dz * trow[7]
+        py = dz * trow[6] - dx * trow[8]
+        pz = dx * trow[7] - dy * trow[6]
+        det = trow[3] * px + trow[4] * py + trow[5] * pz
+        inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+        tx = ox - trow[0]
+        ty = oy - trow[1]
+        tz = oz - trow[2]
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * trow[5] - tz * trow[4]
+        qy = tz * trow[3] - tx * trow[5]
+        qz = tx * trow[4] - ty * trow[3]
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
+        ok = (
+            act
+            & (det != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > t_min)
+            & (tt < best_t0)
+        )
+        best_t0 = jnp.where(ok, tt, best_t0)
+        best_i0 = jnp.where(ok, trow[21].astype(jnp.int32), best_i0)
+        best_u0 = jnp.where(ok, u, best_u0)
+        best_v0 = jnp.where(ok, v, best_v0)
+        if not resolve:
+            best_orig0 = jnp.where(ok, trow[9], best_orig0)
 
     # ---------------- phase 1: traversal walk ----------------
     def cond(carry):
@@ -157,11 +201,11 @@ def _traverse_kernel(
 
     if resolve:
         _, best_t, best_i, best_u, best_v = jax.lax.while_loop(
-            cond, body, (cur0, best_t0, best_i0, zeros, zeros)
+            cond, body, (cur0, best_t0, best_i0, best_u0, best_v0)
         )
     else:
         _, best_t, best_i, best_u, best_v, best_orig = jax.lax.while_loop(
-            cond, body, (cur0, best_t0, best_i0, zeros, zeros, zeros)
+            cond, body, (cur0, best_t0, best_i0, best_u0, best_v0, best_orig0)
         )
         out_ref[0, :] = best_t
         out_ref[1, :] = best_u
@@ -234,12 +278,16 @@ def intersect_bvh_pallas(
     tile: int = DEFAULT_TILE,
     t_max=None,
     resolve: bool = True,
+    prepass: int = 0,
 ) -> HitShade:
     """o/d: (3, N) rays -> HitShade (fully resolved, gather-free).
 
     ``t_max``: optional (N,) per-ray range cap — a pure performance hint
     (hits at or beyond it report as misses); shadow rays cap at their light
     sample distance.
+
+    ``prepass``: test the `prepass` largest-area triangles before the walk to
+    prime best_t (0 disables).  Purely a performance knob; results identical.
     """
     n = o.shape[1]
     pad = (-n) % tile
@@ -257,25 +305,32 @@ def intersect_bvh_pallas(
     total = n + pad
     grid = total // tile
 
+    prepass = min(prepass, lay.prepass.shape[0], lay.num_tris)
     kernel = functools.partial(
         _traverse_kernel,
         num_nodes=lay.num_nodes,
         max_leaf=lay.max_leaf,
         t_min=t_min,
         resolve=resolve,
+        n_prepass=prepass,
     )
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes f32, whole array
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # node meta i32, whole array
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tris, whole array
+    ]
+    inputs = [rays, lay.nodes, lay.nodes_meta, lay.tris]
+    if prepass:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(lay.prepass[:prepass])
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes f32, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # node meta i32, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris, whole array
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((12, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((12, total), jnp.float32),
-    )(rays, lay.nodes, lay.nodes_meta, lay.tris)
+    )(*inputs)
 
     out = out[:, :n]
     # lanes whose best_t never beat the cap are misses
@@ -292,12 +347,342 @@ def intersect_bvh_pallas(
     )
 
 
-def make_pallas_intersector(lay: BVHLayout, t_min: float = 0.0, tile: int = DEFAULT_TILE):
+# =====================================================================
+# Window-walk kernel (v2)
+# =====================================================================
+# Perf model learned from microbenchmarks on v5e (scripts/perf_decompose.py):
+# the v1 kernel's per-node step costs ~1.2 us, dominated NOT by the
+# min-reduce or the while loop (~170 ns together) but by the statically
+# unrolled leaf Moller-Trumbore: 4 dynamic row fetches + ~96 scalar extracts
+# execute on EVERY step, leaf or not.  The v2 design eliminates scalar
+# extracts from the hot loop entirely:
+#   * fetch 8 DFS-consecutive nodes as one (8, 8) block; slab-test all
+#     8 boxes against all lanes as (8, TILE) vector ops (child data lives in
+#     the sublane dimension);
+#   * chain lanes through the window in-register (CHAIN advance rounds per
+#     fetch) — DFS preorder makes every advance stay monotone, so the
+#     min-over-lanes window base preserves the visit-union-once property;
+#   * leaf triangles are DFS-contiguous, so the window's triangles are one
+#     range [tri_start[w], tri_start[w+8]): MT runs on (8, 24) blocks as
+#     (8, TILE) vector ops, predicated per-row on the owning leaf id
+#     (tris col 21) == lane's node pointer;
+#   * the shading payload resolve (v1 phase 2: a serial unique-hit loop)
+#     moves OUTSIDE the kernel to one XLA gather (~5 ms / 2M rays, measured),
+#     so the kernel returns only (t, u, v, row, orig).
+
+WINDOW = 8
+CHAIN = 4
+
+
+def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids):
+    """Vectorized Moller-Trumbore: K triangle rows x TILE lanes.
+
+    ``tb``: (K, 24) block; ``pred``: (K, TILE) participation mask;
+    ``best``: (t, u, v, i, orig) lane planes; ``row_ids``: (K, 1) f32 global
+    row index of each block row (becomes best_i).  Latching is sequential by
+    row (strict <), matching the v1 kernel's per-triangle order exactly.
+    """
+    ox, oy, oz = oxyz
+    dx, dy, dz = dxyz
+    best_t, best_u, best_v, best_i, best_orig = best
+    p0x, p0y, p0z = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3]
+    e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
+    e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
+    orig8 = tb[:, 9:10]
+    pvx = dy * e2z - dz * e2y            # (8, TILE)
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    tx = ox - p0x
+    ty = oy - p0y
+    tz = oz - p0z
+    u = (tx * pvx + ty * pvy + tz * pvz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+    ok = (
+        pred
+        & (det != 0.0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (tt > t_min)
+    )
+    for j in range(tb.shape[0]):
+        okj = ok[j, :] & (tt[j, :] < best_t)
+        best_t = jnp.where(okj, tt[j, :], best_t)
+        best_u = jnp.where(okj, u[j, :], best_u)
+        best_v = jnp.where(okj, v[j, :], best_v)
+        best_i = jnp.where(okj, row_ids[j, 0], best_i)
+        best_orig = jnp.where(okj, orig8[j, 0], best_orig)
+    return best_t, best_u, best_v, best_i, best_orig
+
+
+def _window_kernel(
+    rays_ref,      # (8, TILE) f32: ox oy oz dx dy dz active t_max
+    nodes_ref,     # (M8, 8) f32
+    meta_ref,      # (M8+8, 4) i32 [miss, first*64+count, tri_start, 0]
+    tris_ref,      # (T8, 24) f32, col 21 = owning leaf node id
+    *rest,         # [pre_ref (P, 24) if n_prepass] + [out_ref (8, TILE)]
+    num_nodes: int,
+    num_tris: int,
+    t_min: float,
+    n_prepass: int,
+    chain: int,
+    window: int = WINDOW,
+    mtblock: int = 8,
+):
+    if n_prepass:
+        pre_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    act = rays_ref[6, :] > 0.0
+    t_max = rays_ref[7, :]
+    ix, iy, iz = safe_inverse(dx, dy, dz)
+    oxyz = (ox, oy, oz)
+    dxyz = (dx, dy, dz)
+
+    tile = ox.shape[0]
+    sent = jnp.int32(num_nodes)
+    cur0 = jnp.where(act, jnp.int32(0), sent)
+    zeros = jnp.zeros((tile,), jnp.float32)
+    best = (
+        t_max,                                       # best_t (primed by cap)
+        zeros, zeros,                                # u, v
+        jnp.full((tile,), float(num_tris), jnp.float32),  # row (sentinel)
+        zeros,                                       # orig
+    )
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (mtblock, 1), 0)
+
+    # phase 0: big-triangle pre-pass (static 8-row blocks)
+    pred_act = jnp.broadcast_to(act[None, :], (8, tile))
+    for b in range(n_prepass // 8):
+        tb = pre_ref[b * 8:(b + 1) * 8, :]
+        best = _mt8(tb, pred_act, dxyz, oxyz, t_min, best, tb[:, 21:22])
+
+    # phase 1: window walk
+    def cond(c):
+        return jnp.min(c[0]) < sent
+
+    def body(c):
+        cur, best = c
+        best_t = best[0]
+        w = jnp.min(cur) & ~jnp.int32(window - 1)
+        nblk = nodes_ref[pl.ds(w, window), :]   # (W, 8)
+        mblk = meta_ref[pl.ds(w, window), :]    # (W, 4)
+        ids = w + iota_w                        # (W, 1)
+
+        t0x = (nblk[:, 0:1] - ox[None, :]) * ix[None, :]
+        t1x = (nblk[:, 3:4] - ox[None, :]) * ix[None, :]
+        t0y = (nblk[:, 1:2] - oy[None, :]) * iy[None, :]
+        t1y = (nblk[:, 4:5] - oy[None, :]) * iy[None, :]
+        t0z = (nblk[:, 2:3] - oz[None, :]) * iz[None, :]
+        t1z = (nblk[:, 5:6] - oz[None, :]) * iz[None, :]
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hitb = (enter <= exit_) & (exit_ > t_min) & (enter < best_t[None, :])
+
+        count8 = mblk[:, 1:2] & 63             # (8, 1)
+        isleaf8 = count8 > 0
+        miss8 = jnp.broadcast_to(mblk[:, 0:1], hitb.shape)
+        ids_b = jnp.broadcast_to(ids, hitb.shape)
+        # next pointer per window row: internal-hit -> first child (id+1),
+        # leaf-hit -> stick (MT below, then advance), miss -> escape link
+        nxt8 = jnp.where(hitb, jnp.where(isleaf8, ids_b, ids_b + 1), miss8)
+
+        # chain lanes through the window in-register (leaves stick)
+        for _ in range(chain):
+            mask = ids == cur[None, :]          # (8, TILE)
+            stick = mask & isleaf8 & hitb
+            move = mask & ~stick
+            tgt = jnp.sum(jnp.where(move, nxt8, 0), axis=0)
+            cur = jnp.where(jnp.any(move, axis=0), tgt, cur)
+
+        # leaf MT over the contiguous triangle range of the *demanded* leaf
+        # rows only (leaves where some lane is actually stuck) — the full
+        # window range tests ~3x more triangles than any lane needs
+        mask = ids == cur[None, :]
+        demand8 = jnp.any(mask & isleaf8, axis=1, keepdims=True)  # (8, 1)
+        first8 = mblk[:, 1:2] >> 6
+        lo8 = jnp.where(demand8, first8, jnp.int32(2 ** 30))
+        hi8 = jnp.where(demand8, first8 + count8, jnp.int32(0))
+        t_lo = jnp.min(lo8)
+        t_hi = jnp.max(hi8)
+        a_lo = t_lo & ~jnp.int32(7)
+        nblocks = jnp.maximum(
+            jax.lax.div(t_hi - a_lo + mtblock - 1, jnp.int32(mtblock)),
+            jnp.int32(0),
+        )
+
+        def mt_cond(ic):
+            return ic[0] < nblocks
+
+        def mt_body(ic):
+            i, bst = ic
+            r0 = a_lo + i * mtblock
+            tb = tris_ref[pl.ds(r0, mtblock), :]
+            leafid = tb[:, 21:22].astype(jnp.int32)   # (B, 1)
+            pred = leafid == cur[None, :]
+            row_ids = (r0 + iota_b).astype(jnp.float32)
+            return i + 1, _mt8(tb, pred, dxyz, oxyz, t_min, bst, row_ids)
+
+        _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
+
+        # advance lanes off their (tested) leaf rows
+        onleaf = mask & isleaf8
+        leafstep = jnp.sum(jnp.where(onleaf, miss8, 0), axis=0)
+        cur = jnp.where(jnp.any(onleaf, axis=0), leafstep, cur)
+        return cur, best
+
+    _, best = jax.lax.while_loop(cond, body, (cur0, best))
+    best_t, best_u, best_v, best_i, best_orig = best
+    out_ref[0, :] = best_t
+    out_ref[1, :] = best_u
+    out_ref[2, :] = best_v
+    out_ref[3, :] = best_i
+    out_ref[4, :] = best_orig
+    for k in range(5, 8):
+        out_ref[k, :] = zeros
+
+
+def intersect_bvh_window(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    lay: BVHLayout,
+    t_min: float = 0.0,
+    active=None,
+    tile: int = DEFAULT_TILE,
+    t_max=None,
+    resolve: bool = True,
+    prepass: int = 32,
+    chain: int = CHAIN,
+    window: int = WINDOW,
+    mtblock: int = 8,
+) -> HitShade:
+    """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
+
+    Same results as :func:`intersect_bvh_pallas`; the shading payload is
+    resolved outside the kernel with one XLA gather.
+    """
+    n = o.shape[1]
+    pad = (-n) % tile
+    if active is None:
+        act = jnp.ones((n,), jnp.float32)
+    else:
+        act = active.astype(jnp.float32)
+    if t_max is None:
+        t_max_arr = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        t_max_arr = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    rays = jnp.concatenate([o, d, act[None], t_max_arr[None]], axis=0)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    total = n + pad
+    grid = total // tile
+
+    prepass = min(prepass, lay.prepass.shape[0], lay.num_tris)
+    prepass -= prepass % 8  # static 8-row blocks
+    kernel = functools.partial(
+        _window_kernel,
+        num_nodes=lay.num_nodes,
+        num_tris=lay.num_tris,
+        t_min=t_min,
+        n_prepass=prepass,
+        chain=chain,
+        window=window,
+        mtblock=mtblock,
+    )
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [rays, lay.nodes8, lay.meta4, lay.tris8]
+    if prepass:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(lay.prepass[:prepass])
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+    )(*inputs)
+
+    out = out[:, :n]
+    t = jnp.where(out[0] < t_max_arr, out[0], jnp.inf)
+    u, v = out[1], out[2]
+    if not resolve:
+        return HitShade(
+            t=t, u=u, v=v,
+            tri=out[4].astype(jnp.int32),
+            mat=jnp.zeros((n,), jnp.int32),
+            light=jnp.full((n,), -1, jnp.int32),
+            pos=jnp.zeros((3, n), jnp.float32),
+            normal=jnp.zeros((3, n), jnp.float32),
+        )
+    # shading payload: ONE XLA row gather + fused elementwise (identical
+    # arithmetic to the v1 kernel's in-kernel phase 2)
+    rows = jnp.take(lay.tris, out[3].astype(jnp.int32), axis=0)  # (N, 24)
+    w0 = 1.0 - u - v
+    px = rows[:, 0] + u * rows[:, 3] + v * rows[:, 6]
+    py = rows[:, 1] + u * rows[:, 4] + v * rows[:, 7]
+    pz = rows[:, 2] + u * rows[:, 5] + v * rows[:, 8]
+    nx = rows[:, 10] * w0 + rows[:, 13] * u + rows[:, 16] * v
+    ny = rows[:, 11] * w0 + rows[:, 14] * u + rows[:, 17] * v
+    nz = rows[:, 12] * w0 + rows[:, 15] * u + rows[:, 18] * v
+    rlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    return HitShade(
+        t=t, u=u, v=v,
+        tri=rows[:, 9].astype(jnp.int32),
+        mat=rows[:, 19].astype(jnp.int32),
+        light=rows[:, 20].astype(jnp.int32) - 1,
+        pos=jnp.stack([px, py, pz]),
+        normal=jnp.stack([nx * rlen, ny * rlen, nz * rlen]),
+    )
+
+
+def make_pallas_intersector(
+    lay: BVHLayout,
+    t_min: float = 0.0,
+    tile: int = DEFAULT_TILE,
+    kernel: str = "window",
+    chain: int = CHAIN,
+    prepass: int = 32,
+    occlusion_tile: int = 3072,
+):
     def fn(o, d, active, t_max=None):
-        # a capped query is an occlusion-style query: skip payload resolve
+        if t_max is not None:
+            # capped occlusion-style query (shadow rays): v1 kernel skips the
+            # payload resolve and the cap prunes subtrees beyond the light
+            return intersect_bvh_pallas(
+                o, d, lay, t_min=t_min, active=active, tile=occlusion_tile,
+                t_max=t_max, resolve=False, prepass=0,
+            )
+        if kernel == "window":
+            return intersect_bvh_window(
+                o, d, lay, t_min=t_min, active=active, tile=tile,
+                prepass=prepass, chain=chain,
+            )
         return intersect_bvh_pallas(
-            o, d, lay, t_min=t_min, active=active, tile=tile, t_max=t_max,
-            resolve=t_max is None,
+            o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
 
     return fn
