@@ -35,3 +35,43 @@ def test_roundtrip_tall_not_multiple_of_block(tmp_path):
     write_exr(path, img, half=False, compress=True)
     back, _ = read_exr(path)
     assert np.array_equal(back, img)
+
+
+def test_decreasing_y_line_order(tmp_path):
+    """Chunk y headers are absolute: a DECREASING_Y file (chunks stored
+    bottom-first) must decode identically — no post-hoc flip."""
+    rng = np.random.default_rng(7)
+    img = rng.random((5, 9, 3)).astype(np.float32)
+    path = str(tmp_path / "inc.exr")
+    write_exr(path, img, half=False, compress=False)
+    data = bytearray(open(path, "rb").read())
+
+    # walk the header like the reader does to find where chunks start
+    off = 8
+    while True:
+        end = data.index(b"\0", off)
+        name = bytes(data[off:end]).decode()
+        off = end + 1
+        if not name:
+            break
+        end = data.index(b"\0", off)
+        off = end + 1
+        import struct
+
+        size = struct.unpack("<i", data[off:off + 4])[0]
+        off += 4
+        if name == "lineOrder":
+            data[off] = 1  # DECREASING_Y
+        off += size
+    off += 8 * img.shape[0]  # offset table
+    chunks = []
+    while off < len(data):
+        size = struct.unpack("<i", data[off + 4:off + 8])[0]
+        chunks.append(bytes(data[off:off + 8 + size]))
+        off += 8 + size
+    assert len(chunks) == img.shape[0]
+    dec = data[: off - sum(len(c) for c in chunks)] + b"".join(chunks[::-1])
+    path2 = str(tmp_path / "dec.exr")
+    open(path2, "wb").write(bytes(dec))
+    back, _ = read_exr(path2)
+    assert np.array_equal(back, img)

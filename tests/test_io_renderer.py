@@ -76,3 +76,20 @@ def test_cli_smoke(tmp_path):
         "--hud-every", "0", "-o", out,
     ])
     assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_resume_shape_mismatch(tmp_path):
+    """--resume with a checkpoint at a different resolution must fail loudly
+    instead of silently overriding --width/--height."""
+    from tpu_pathtracer.cli import main
+
+    ckpt = str(tmp_path / "c.npz")
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(1)
+    r.save_checkpoint(ckpt)
+    rc = main([
+        "--scene", "cornellbox", "--width", "64", "--height", "48",
+        "--frames", "1", "--depth", "3", "--intersector", "brute",
+        "--resume", ckpt,
+    ])
+    assert rc == 2

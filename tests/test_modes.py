@@ -100,3 +100,52 @@ def test_display_path_flags():
     r.run(1)
     out = r.image(tonemapped=True)
     assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_animate_noise_off_freezes_tile_data():
+    """ANIMATE_NOISE=0 parity: tile data is frame-independent, so frames 0 and
+    1 (whose tile-lookup offsets frame//3, frame//5 coincide) trace identical
+    samples; with animation on they differ (reference: Renderer.mm:485-497)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.models.camera import Camera
+    from tpu_pathtracer.render.state import sample_sum
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    scene = load_scene(scene_path("cornellbox"))
+    cam = Camera.reference_default()
+    key = jax.random.PRNGKey(3)
+
+    def frame_img(cfg, fi):
+        return np.asarray(
+            sample_sum(scene, cfg, cam, 16, 16, key, jnp.int32(fi))
+        )
+
+    static = RenderConfig(
+        samples_per_frame=1, max_path_length=2, intersector="brute",
+        noise_mode=NoiseMode.TILED, animate_noise=False,
+    )
+    assert np.array_equal(frame_img(static, 0), frame_img(static, 1))
+    animated = static.replace(animate_noise=True)
+    assert not np.array_equal(frame_img(animated, 0), frame_img(animated, 1))
+
+
+def test_spectral_save_collapses_to_rgb(tmp_path):
+    from tpu_pathtracer.io.exr import read_exr
+
+    cfg = RenderConfig(
+        samples_per_frame=1, max_path_length=2, intersector="brute",
+        spectrum_samples=8,
+    )
+    r = Renderer("cornellbox", cfg=cfg, **TINY)
+    r.run(1)
+    exr = str(tmp_path / "s8.exr")
+    png = str(tmp_path / "s8.png")
+    r.save_exr(exr)
+    r.save_png(png)
+    img, channels = read_exr(exr)
+    assert channels == ["R", "G", "B"]
+    assert img.shape == (TINY["height"], TINY["width"], 3)
+    expect = np.asarray(spec.to_rgb(r.state.accum))
+    np.testing.assert_allclose(img, expect, atol=2e-3)

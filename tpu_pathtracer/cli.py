@@ -76,6 +76,15 @@ def main(argv=None) -> int:
     )
     if args.resume:
         r.load_checkpoint(args.resume)
+        got = r.state.accum.shape
+        want = (args.height, args.width, cfg.spectrum_samples)
+        if got != want:
+            print(
+                f"error: checkpoint {args.resume} has accumulator shape "
+                f"{got}, but this run requests {want} "
+                "(--width/--height/spectrum mismatch)", file=sys.stderr,
+            )
+            return 2
         print(f"resumed at frame {r.frame_index}")
 
     if args.profile_dir:

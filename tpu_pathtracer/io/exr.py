@@ -134,10 +134,9 @@ def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
                 )
                 p += nb
 
-    if line_order == 1:  # decreasing y
-        for cname in planes:
-            planes[cname] = planes[cname][::-1]
-
+    # note: no flip for DECREASING_Y files — each chunk header carries the
+    # absolute y coordinate, so row0 = y - y_min already places rows correctly
+    # for both line orders
     names = [n for n, _ in channels]
     preferred = [c for c in ("R", "G", "B", "A") if c in names]
     order = preferred + [n for n in sorted(names) if n not in preferred]

@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import RenderConfig
+from ..config import NoiseMode, RenderConfig
 from ..models.camera import Camera
 from ..scene.scene import Scene
 from .wavefront import IntersectFn, render_sample
@@ -81,6 +81,11 @@ def sample_sum(
     index, so every partition traces identical paths.
     """
     frame_key = jax.random.fold_in(key, frame_index)
+    if cfg.noise_mode == NoiseMode.TILED and not cfg.animate_noise:
+        # static noise (reference ANIMATE_NOISE=0, Renderer.mm:485-497): the
+        # tile data never re-rolls across frames; only the frame-offset tile
+        # *lookup* (render/noise.py:_tile_lookup) varies per frame
+        frame_key = key
     sample_count = cfg.samples_per_frame if sample_count is None else sample_count
 
     def one_sample(i, acc):

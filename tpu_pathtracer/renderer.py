@@ -102,9 +102,17 @@ class Renderer:
             f"{self._avg_frame_time * 1e3:.2f} ms/frame]"
         )
 
-    def image(self, tonemapped: bool = False) -> np.ndarray:
-        """(H, W, S) accumulated radiance (optionally display-transformed)."""
+    def image(self, tonemapped: bool = False, rgb: bool = False) -> np.ndarray:
+        """(H, W, S) accumulated radiance (optionally display-transformed).
+
+        ``rgb`` collapses spectral accumulators (S > 3) to 3-channel RGB via
+        the band-averaged downsample in core/spectrum.py.
+        """
         img = np.asarray(self.state.accum)
+        if rgb and img.shape[-1] != 3:
+            from .core.spectrum import to_rgb
+
+            img = np.asarray(to_rgb(img))
         if tonemapped:
             from .core.color import to_srgb, tonemap_exposure
 
@@ -117,12 +125,12 @@ class Renderer:
     def save_exr(self, path: str) -> None:
         from .io.exr import write_exr
 
-        write_exr(path, self.image(), half=True)
+        write_exr(path, self.image(rgb=True), half=True)
 
     def save_png(self, path: str) -> None:
         from .io.png import write_png
 
-        write_png(path, self.image(tonemapped=True))
+        write_png(path, self.image(tonemapped=True, rgb=True))
 
     def save_checkpoint(self, path: str) -> None:
         from .io.checkpoint import save_checkpoint
