@@ -105,3 +105,102 @@ def test_pallas_interpret_matches(scene_and_layout):
     tri = np.asarray(hs.tri)[both]
     assert (np.asarray(hs.mat)[both] == np.asarray(scene.material_id)[tri]).all()
     assert (np.asarray(hs.light)[both] == np.asarray(scene.light_index)[tri]).all()
+
+
+def test_pallas_window_matches_v1(scene_and_layout):
+    """The production window-walk kernel (v2) must agree with the v1 kernel
+    bit-for-bit in interpreter mode, for both latch modes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=9)
+    with pltpu.force_tpu_interpret_mode():
+        h1 = pt.intersect_bvh_pallas(o, d, lay, tile=128)
+        hw_a = pt.intersect_bvh_window(o, d, lay, tile=128, latch="argmin")
+        hw_r = pt.intersect_bvh_window(o, d, lay, tile=128, latch="rows")
+    for hw in (hw_a, hw_r):
+        # same hits; t/u may differ in the last ulp (the v1 kernel evaluates
+        # MT as broadcast scalar ops, the window kernel as (K, TILE) blocks —
+        # different FMA contraction)
+        t1, tw = np.asarray(h1.t), np.asarray(hw.t)
+        assert (np.isfinite(t1) == np.isfinite(tw)).all()
+        both = np.isfinite(t1)
+        np.testing.assert_allclose(t1[both], tw[both], rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(h1.tri)[both], np.asarray(hw.tri)[both]
+        )
+        np.testing.assert_allclose(
+            np.asarray(h1.u)[both], np.asarray(hw.u)[both], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(h1.pos)[:, both], np.asarray(hw.pos)[:, both], atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h1.mat)[both], np.asarray(hw.mat)[both]
+        )
+    # the two latch modes must agree exactly with each other
+    np.testing.assert_array_equal(np.asarray(hw_a.t), np.asarray(hw_r.t))
+    np.testing.assert_array_equal(np.asarray(hw_a.tri), np.asarray(hw_r.tri))
+
+
+def test_pallas_occlusion_capped(scene_and_layout):
+    """resolve=False + t_max: the occlusion path must report exactly the
+    hits the brute oracle finds within the cap."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=11)
+    hb = intersect_brute(o, d, scene.p0, scene.p1, scene.p2)
+    tb = np.asarray(hb.t)
+    cap = jnp.where(jnp.isfinite(hb.t), hb.t * 1.25, 2.0)
+    with pltpu.force_tpu_interpret_mode():
+        ho = pt.intersect_bvh_pallas(
+            o, d, lay, tile=128, t_max=cap, resolve=False, prepass=0
+        )
+    to = np.asarray(ho.t)
+    within = np.isfinite(tb) & (tb < np.asarray(cap))
+    assert (np.isfinite(to) == within).all()
+    np.testing.assert_allclose(to[within], tb[within], rtol=1e-4)
+    # the occlusion result carries the original triangle id (shadow target test)
+    assert (np.asarray(ho.tri)[within] == np.asarray(hb.tri)[within]).mean() > 0.98
+
+
+def test_full_frame_pallas_matches_pure_jax():
+    """One frame through the full sorted-wavefront pipeline with the Pallas
+    intersector (interpret mode) == the same frame with pure-JAX traversal.
+    Guards the production TPU path (kernels + sorting + scatter) on CPU CI."""
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.camera import Camera
+    from tpu_pathtracer.ops import pallas_traverse as pt
+    from tpu_pathtracer.ops.traverse import make_bvh_intersector
+    from tpu_pathtracer.render.state import init_state, render_frame
+
+    scene = load_scene(scene_path("cornellbox"))
+    lay = build_layout(scene, leaf_size=4)
+    cfg = RenderConfig(
+        samples_per_frame=1, max_path_length=3, use_pallas=True,
+        traversal_tile=128, occlusion_tile=128,
+    )
+    cam = Camera.reference_default()
+    state0 = init_state(24, 32)
+
+    pallas_isect = pt.make_pallas_intersector(
+        lay, tile=128, occlusion_tile=128, prepass=8
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_p = render_frame(state0, scene, cfg, cam, pallas_isect)
+        accum_p = np.asarray(out_p.accum)
+
+    pure_isect = make_bvh_intersector(lay, scene)
+    out_j = render_frame(init_state(24, 32), scene, cfg, cam, pure_isect)
+    accum_j = np.asarray(out_j.accum)
+    assert np.isfinite(accum_p).all()
+    np.testing.assert_allclose(accum_p, accum_j, atol=2e-5)

@@ -93,3 +93,20 @@ def test_cli_resume_shape_mismatch(tmp_path):
         "--resume", ckpt,
     ])
     assert rc == 2
+
+
+def test_frames_in_flight_async_equals_sync():
+    """K frames queued asynchronously produce the same image as blocking
+    every frame (the reference's triple-buffering, Renderer.mm:16,593-600)."""
+    r_async = Renderer("cornellbox", cfg=CFG.replace(frames_in_flight=3), **TINY)
+    r_sync = Renderer("cornellbox", cfg=CFG.replace(frames_in_flight=1), **TINY)
+    r_async.run(5)
+    r_sync.run(5)
+    assert r_async.frame_index == r_sync.frame_index == 5
+    np.testing.assert_array_equal(r_async.image(), r_sync.image())
+    # max_frames gate still counts queued frames correctly
+    r_gate = Renderer(
+        "cornellbox", cfg=CFG.replace(frames_in_flight=3, max_frames=4), **TINY
+    )
+    r_gate.run(9)
+    assert r_gate.frame_index == 4

@@ -56,3 +56,48 @@ def test_deterministic_given_seed():
     a = _render("cornellbox", 2, spp=2)
     b = _render("cornellbox", 2, spp=2)
     np.testing.assert_array_equal(a, b)
+
+
+# ---- Water-variant gates ---------------------------------------------------
+# The Mitsuba XMLs for the Water scenes use *different materials* than the
+# reference's MTL channel hack (docs/PARITY.md, ARCHITECTURE.md validation
+# table), so these goldens bound the render rather than match it.  The
+# renders are deterministic (counter-based RNG), so the bounds are executable
+# regression gates around the measured values, not statistical tolerances.
+
+def test_water_plastic_bounded_by_golden():
+    # measured rel_mse 0.092, mean_ratio 1.169 (materials differ in golden)
+    img = _render("CornellBox-Water-plastic", 2, spp=16)
+    m = metrics(img, _golden("CornellBox-Water-plastic", 2))
+    assert np.isfinite(img).all()
+    assert m["rel_mse"] < 0.14, m
+    assert 1.08 < m["mean_ratio"] < 1.26, m
+
+
+def test_water_depth8_matches_golden():
+    # the non-refracting dielectric still lands close on this golden:
+    # measured rel_mse 0.090, mean_ratio 1.045 at 8 spp
+    img = _render("CornellBox-Water", 8, spp=8)
+    m = metrics(img, _golden("CornellBox-Water", 8))
+    assert np.isfinite(img).all()
+    assert m["rel_mse"] < 0.14, m
+    assert 0.98 < m["mean_ratio"] < 1.11, m
+
+
+@pytest.mark.parametrize(
+    "quirks,lo,hi",
+    [
+        # quirks on: the reference multiplies mirror throughput by cos(theta)
+        # (reference: renderer/KernelHelpers.h:131), losing ~10% energy vs
+        # Mitsuba -> mean_ratio ~0.907
+        (True, 0.86, 0.96),
+        # quirks off restores the energy: mean_ratio ~1.058
+        (False, 1.00, 1.12),
+    ],
+)
+def test_water_mirror_energy_split(quirks, lo, hi):
+    img = _render("CornellBox-Water-mirror", 3, spp=16, reference_quirks=quirks)
+    m = metrics(img, _golden("CornellBox-Water-mirror", 3))
+    assert np.isfinite(img).all()
+    assert lo < m["mean_ratio"] < hi, m
+    assert m["rel_mse"] < 0.75, m

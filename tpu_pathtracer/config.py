@@ -74,17 +74,24 @@ class RenderConfig:
     intersector: str = "bvh"
     # Use the Pallas tile-coherent traversal kernel when on TPU.
     use_pallas: bool = True
-    # Ray-tile width for the Pallas traversal (also drives the coherent
-    # pixel-block ordering in render/order.py).
-    traversal_tile: int = 768
-    # Traversal kernel for nearest-hit queries: "window" (v2: 8-node DFS
-    # windows tested as (8, TILE) vector blocks — fastest for incoherent
+    # Ray-tile width for coherent (camera-ray) traversal; also drives the
+    # coherent pixel-block ordering in render/order.py.
+    traversal_tile: int = 1536
+    # Traversal kernel for nearest-hit queries: "window" (v2: 8/16-node DFS
+    # windows tested as (W, TILE) vector blocks — fastest for incoherent
     # wavefronts) or "minwalk" (v1: one node per step).  Occlusion queries
     # (t_max-capped shadow rays) always use the v1 occlusion path, which
     # skips payload resolve.
     traversal_kernel: str = "window"
     # In-register window chain depth (advance rounds per window fetch).
     traversal_chain: int = 4
+    # Secondary-bounce (incoherent wavefront) kernel parameters; A/B'd on
+    # v5e (scripts/perf_window_ab.py) — smaller tiles + wider windows win
+    # when tile unions are large.
+    secondary_tile: int = 768
+    secondary_window: int = 16
+    secondary_mtblock: int = 16
+    secondary_chain: int = 6
     # Ray-tile width for occlusion (shadow) queries: coherent + range-capped
     # walks are short, so bigger tiles amortize per-program cost best.
     occlusion_tile: int = 3072
@@ -104,6 +111,12 @@ class RenderConfig:
     sort_shadows: bool = True
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
+    # Progressive frames kept in flight before the host blocks: the analog of
+    # the reference's triple buffering (MaxBuffersInFlight = 3,
+    # reference: renderer/Renderer.mm:16,593-600).  JAX async dispatch queues
+    # up to this many donated frame steps; the host syncs only when the queue
+    # is full or an image/HUD read needs the data.
+    frames_in_flight: int = 3
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

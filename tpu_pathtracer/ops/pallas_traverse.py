@@ -374,13 +374,20 @@ WINDOW = 8
 CHAIN = 4
 
 
-def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids):
+def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
     """Vectorized Moller-Trumbore: K triangle rows x TILE lanes.
 
     ``tb``: (K, 24) block; ``pred``: (K, TILE) participation mask;
     ``best``: (t, u, v, i, orig) lane planes; ``row_ids``: (K, 1) f32 global
-    row index of each block row (becomes best_i).  Latching is sequential by
-    row (strict <), matching the v1 kernel's per-triangle order exactly.
+    row index of each block row (becomes best_i).
+
+    ``latch`` selects how block hits fold into the per-lane best record:
+
+    * ``"rows"`` — sequential per-row latch with strict ``<`` (the v1 order).
+    * ``"argmin"`` — one vectorized min-reduce over the block plus a
+      lowest-row tie-break, which picks the same winner as the sequential
+      strict-< latch (first of equal-t rows) in ~1/3 the vector ops; all ops
+      stay (K, TILE)-shaped instead of K separate (TILE,) row ops.
     """
     ox, oy, oz = oxyz
     dx, dy, dz = dxyz
@@ -389,7 +396,7 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids):
     e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
     e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
     orig8 = tb[:, 9:10]
-    pvx = dy * e2z - dz * e2y            # (8, TILE)
+    pvx = dy * e2z - dz * e2y            # (K, TILE)
     pvy = dz * e2x - dx * e2z
     pvz = dx * e2y - dy * e2x
     det = e1x * pvx + e1y * pvy + e1z * pvz
@@ -411,13 +418,34 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids):
         & (u + v <= 1.0)
         & (tt > t_min)
     )
-    for j in range(tb.shape[0]):
-        okj = ok[j, :] & (tt[j, :] < best_t)
-        best_t = jnp.where(okj, tt[j, :], best_t)
-        best_u = jnp.where(okj, u[j, :], best_u)
-        best_v = jnp.where(okj, v[j, :], best_v)
-        best_i = jnp.where(okj, row_ids[j, 0], best_i)
-        best_orig = jnp.where(okj, orig8[j, 0], best_orig)
+    if latch == "rows":
+        for j in range(tb.shape[0]):
+            okj = ok[j, :] & (tt[j, :] < best_t)
+            best_t = jnp.where(okj, tt[j, :], best_t)
+            best_u = jnp.where(okj, u[j, :], best_u)
+            best_v = jnp.where(okj, v[j, :], best_v)
+            best_i = jnp.where(okj, row_ids[j, 0], best_i)
+            best_orig = jnp.where(okj, orig8[j, 0], best_orig)
+        return best_t, best_u, best_v, best_i, best_orig
+
+    big = jnp.float32(jnp.inf)
+    k = tb.shape[0]
+    ttm = jnp.where(ok & (tt < best_t[None, :]), tt, big)   # (K, TILE)
+    tmin = jnp.min(ttm, axis=0)                             # (TILE,)
+    upd = tmin < best_t
+    # lowest-BLOCK-ROW-of-equal-t tie-break == the sequential strict-< latch
+    # winner (block order, which for walk blocks is also global-row order)
+    posf = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).astype(jnp.float32)
+    cand = jnp.where(ttm == tmin[None, :], jnp.broadcast_to(posf, ttm.shape), big)
+    pmin = jnp.min(cand, axis=0)                            # winning block row
+    win = cand == pmin[None, :]
+    pick = lambda x: jnp.sum(jnp.where(win, x, 0.0), axis=0)  # noqa: E731
+    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), ttm.shape)
+    best_t = jnp.where(upd, tmin, best_t)
+    best_u = jnp.where(upd, pick(u), best_u)
+    best_v = jnp.where(upd, pick(v), best_v)
+    best_i = jnp.where(upd, pick(ridf), best_i)
+    best_orig = jnp.where(upd, pick(jnp.broadcast_to(orig8, ttm.shape)), best_orig)
     return best_t, best_u, best_v, best_i, best_orig
 
 
@@ -434,6 +462,7 @@ def _window_kernel(
     chain: int,
     window: int = WINDOW,
     mtblock: int = 8,
+    latch: str = "argmin",
 ):
     if n_prepass:
         pre_ref, out_ref = rest
@@ -468,7 +497,8 @@ def _window_kernel(
     pred_act = jnp.broadcast_to(act[None, :], (8, tile))
     for b in range(n_prepass // 8):
         tb = pre_ref[b * 8:(b + 1) * 8, :]
-        best = _mt8(tb, pred_act, dxyz, oxyz, t_min, best, tb[:, 21:22])
+        best = _mt8(tb, pred_act, dxyz, oxyz, t_min, best, tb[:, 21:22],
+                    latch=latch)
 
     # phase 1: window walk
     def cond(c):
@@ -540,7 +570,8 @@ def _window_kernel(
             leafid = tb[:, 21:22].astype(jnp.int32)   # (B, 1)
             pred = leafid == cur[None, :]
             row_ids = (r0 + iota_b).astype(jnp.float32)
-            return i + 1, _mt8(tb, pred, dxyz, oxyz, t_min, bst, row_ids)
+            return i + 1, _mt8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
+                               latch=latch)
 
         _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
 
@@ -574,6 +605,7 @@ def intersect_bvh_window(
     chain: int = CHAIN,
     window: int = WINDOW,
     mtblock: int = 8,
+    latch: str = "argmin",
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
 
@@ -607,6 +639,7 @@ def intersect_bvh_window(
         chain=chain,
         window=window,
         mtblock=mtblock,
+        latch=latch,
     )
     in_specs = [
         pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -667,8 +700,25 @@ def make_pallas_intersector(
     chain: int = CHAIN,
     prepass: int = 32,
     occlusion_tile: int = 3072,
+    secondary_tile: int = 768,
+    secondary_window: int = 16,
+    secondary_mtblock: int = 16,
+    secondary_chain: int = 6,
 ):
-    def fn(o, d, active, t_max=None):
+    """Build the production intersection callable.
+
+    Three query classes get separately tuned kernel parameters (A/B'd on v5e,
+    scripts/perf_window_ab.py):
+
+    * coherent nearest-hit (camera rays): big tiles win (the tile union is
+      near the per-ray set, so fewer programs amortize per-step cost);
+    * incoherent nearest-hit (bounce wavefronts): smaller tiles + 16-node
+      windows + 16-row MT blocks win;
+    * occlusion (t_max-capped shadow rays): the v1 min-walk without payload
+      resolve, big tiles.
+    """
+
+    def fn(o, d, active, t_max=None, coherent=False):
         if t_max is not None:
             # capped occlusion-style query (shadow rays): v1 kernel skips the
             # payload resolve and the cap prunes subtrees beyond the light
@@ -677,9 +727,15 @@ def make_pallas_intersector(
                 t_max=t_max, resolve=False, prepass=0,
             )
         if kernel == "window":
+            if coherent:
+                return intersect_bvh_window(
+                    o, d, lay, t_min=t_min, active=active, tile=tile,
+                    prepass=prepass, chain=chain,
+                )
             return intersect_bvh_window(
-                o, d, lay, t_min=t_min, active=active, tile=tile,
-                prepass=prepass, chain=chain,
+                o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
+                prepass=prepass, chain=secondary_chain,
+                window=secondary_window, mtblock=secondary_mtblock,
             )
         return intersect_bvh_pallas(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,

@@ -153,8 +153,8 @@ def sort_wavefront(state: PathState, wmin, winv) -> PathState:
 
 
 def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
-    def fn(o, d, active, t_max=None):
-        del active, t_max  # dense backend cannot skip lanes; cap is a hint
+    def fn(o, d, active, t_max=None, coherent=False):
+        del active, t_max, coherent  # dense backend cannot skip lanes
         hit = intersect_brute(o, d, scene.p0, scene.p1, scene.p2, t_min=t_min)
         return shade_from_scene(scene, hit)
 
@@ -177,6 +177,10 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None) -> IntersectFn:
             chain=cfg.traversal_chain,
             prepass=cfg.traversal_prepass,
             occlusion_tile=cfg.occlusion_tile,
+            secondary_tile=cfg.secondary_tile,
+            secondary_window=cfg.secondary_window,
+            secondary_mtblock=cfg.secondary_mtblock,
+            secondary_chain=cfg.secondary_chain,
         )
     from ..ops.traverse import make_bvh_intersector
 
@@ -233,16 +237,18 @@ def trace_bounce(
     uniforms: dict,
     with_stats: bool = False,
     shadow_sort_bounds=None,
+    coherent: bool = False,
 ):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
     Mirrors intersectionHandler + lightSamplingHandler
-    (reference: renderer/Shaders.metal:105-231).
+    (reference: renderer/Shaders.metal:105-231).  ``coherent`` is a static
+    performance hint: camera wavefronts get the big-tile kernel variant.
     """
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
 
-    hit = intersect(state.origin, state.direction, state.alive)
+    hit = intersect(state.origin, state.direction, state.alive, coherent=coherent)
     # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
     # (reference: renderer/Shaders.metal:122-126 — note the nearest hit is NOT
     # skipped in favor of the next one; the whole path dies).
@@ -437,18 +443,18 @@ def render_sample(
         winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
     shadow_bounds = (wmin, winv) if (do_sort and cfg.sort_shadows) else None
 
-    def shade(b, st):
+    def shade(b, st, coherent=False):
         uniforms = bounce_uniforms(
             cfg, key, frame_index, b, st.pixel, full_height, full_width
         )
         return trace_bounce(
             scene, cfg, intersect, b, st, uniforms,
-            shadow_sort_bounds=shadow_bounds,
+            shadow_sort_bounds=shadow_bounds, coherent=coherent,
         )
 
     # bounce 0 is camera-coherent already (block order); sort before each
     # secondary bounce
-    state = shade(jnp.int32(0), state)
+    state = shade(jnp.int32(0), state, coherent=True)
 
     def body(b, st):
         if do_sort:

@@ -67,32 +67,60 @@ class Renderer:
         self.state = init_state(height, width, self._seed, self.cfg.spectrum_samples)
         self._avg_rays_per_sec = 0.0
         self._avg_frame_time = 0.0
-        self._last_time = None
+        self._frame_count = 0        # host-side count (device state lags when async)
+        self._in_flight = 0
+        self._window_t0 = None       # wall-clock start of the in-flight window
 
     @property
     def frame_index(self) -> int:
+        """Frames *completed and visible* (syncs in-flight work first)."""
+        self.sync()
         return int(self.state.frame_index)
 
-    def step(self) -> None:
-        """Render one progressive frame (respects cfg.max_frames like the
-        reference's MAX_FRAMES gate, renderer/Renderer.mm:589-591)."""
-        if self.cfg.max_frames and self.frame_index >= self.cfg.max_frames:
+    def sync(self) -> None:
+        """Block until every queued frame step has executed on device, and
+        fold the elapsed window into the HUD EMA."""
+        if self._in_flight == 0:
             return
-        t0 = time.perf_counter()
-        self.state = self._step(self.state, self.scene)
         jax.block_until_ready(self.state.frame_index)
         # force completion through the transfer path (remote backends may
         # report ready before execution finishes)
         _ = np.asarray(self.state.frame_index)
-        frame_time = time.perf_counter() - t0
+        dt = time.perf_counter() - self._window_t0
+        frame_time = dt / self._in_flight
         pixels = self.state.height * self.state.width
         # EMA-smoothed HUD, same blend as the reference (Renderer.mm:631-637)
-        self._avg_rays_per_sec = 0.5 * (self._avg_rays_per_sec + pixels / frame_time)
-        self._avg_frame_time = 0.5 * (self._avg_frame_time + frame_time)
+        for _ in range(self._in_flight):
+            self._avg_rays_per_sec = 0.5 * (
+                self._avg_rays_per_sec + pixels / frame_time
+            )
+            self._avg_frame_time = 0.5 * (self._avg_frame_time + frame_time)
+        self._in_flight = 0
+        self._window_t0 = None
+
+    def step(self) -> None:
+        """Queue one progressive frame (respects cfg.max_frames like the
+        reference's MAX_FRAMES gate, renderer/Renderer.mm:589-591).
+
+        Up to ``cfg.frames_in_flight`` steps run asynchronously before the
+        host blocks — the reference's semaphore-throttled triple buffering
+        (renderer/Renderer.mm:16,593-600), expressed as JAX async dispatch
+        over donated state.
+        """
+        if self.cfg.max_frames and self._frame_count >= self.cfg.max_frames:
+            return
+        if self._window_t0 is None:
+            self._window_t0 = time.perf_counter()
+        self.state = self._step(self.state, self.scene)
+        self._frame_count += 1
+        self._in_flight += 1
+        if self._in_flight >= max(1, self.cfg.frames_in_flight):
+            self.sync()
 
     def run(self, frames: int) -> None:
         for _ in range(frames):
             self.step()
+        self.sync()
 
     def hud(self) -> str:
         """Window-title HUD string (reference: renderer/Renderer.mm:636-637)."""
@@ -108,6 +136,7 @@ class Renderer:
         ``rgb`` collapses spectral accumulators (S > 3) to 3-channel RGB via
         the band-averaged downsample in core/spectrum.py.
         """
+        self.sync()
         img = np.asarray(self.state.accum)
         if rgb and img.shape[-1] != 3:
             from .core.spectrum import to_rgb
@@ -135,12 +164,17 @@ class Renderer:
     def save_checkpoint(self, path: str) -> None:
         from .io.checkpoint import save_checkpoint
 
+        self.sync()
         save_checkpoint(path, self.state)
 
     def load_checkpoint(self, path: str) -> None:
         from .io.checkpoint import load_checkpoint
 
+        self.sync()
         self.state = load_checkpoint(path)
+        self._frame_count = int(self.state.frame_index)
+        self._in_flight = 0
+        self._window_t0 = None
 
     def profile(self, trace_dir: str, frames: int = 3) -> None:
         """Capture a device profile of the frame step (the counterpart of the
