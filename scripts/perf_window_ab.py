@@ -57,23 +57,28 @@ def main():
         scene, lay, lambda o, d, a: intersect_bvh_pallas(o, d, lay, active=a)
     )
 
-    def wvar(**kw):
+    def wvar(lay_=None, **kw):
+        ly = lay_ if lay_ is not None else lay
+
         def f(o, d, a):
-            h = intersect_bvh_window(o, d, lay, active=a, **kw)
+            h = intersect_bvh_window(o, d, ly, active=a, **kw)
             return jnp.sum(h.t[::997]) + jnp.sum(h.u[::997])
 
         return jax.jit(f)
 
     variants = {
-        "rows_c4_w8_m8_t768": wvar(latch="rows", chain=4, window=8, mtblock=8, tile=768),
-        "argm_c4_w8_m8_t768": wvar(latch="argmin", chain=4, window=8, mtblock=8, tile=768),
-        "argm_c4_w8_m16_t768": wvar(latch="argmin", chain=4, window=8, mtblock=16, tile=768),
-        "argm_c4_w16_m16_t768": wvar(latch="argmin", chain=4, window=16, mtblock=16, tile=768),
-        "argm_c6_w16_m16_t768": wvar(latch="argmin", chain=6, window=16, mtblock=16, tile=768),
-        "argm_c4_w8_m8_t1536": wvar(latch="argmin", chain=4, window=8, mtblock=8, tile=1536),
-        "argm_c4_w16_m16_t1536": wvar(latch="argmin", chain=4, window=16, mtblock=16, tile=1536),
-        "argm_c2_w8_m8_t768": wvar(latch="argmin", chain=2, window=8, mtblock=8, tile=768),
+        "base_c6_w16_m16_t768": wvar(chain=6, window=16, mtblock=16, tile=768),
+        "MTOFF_c6_w16_m16_t768": wvar(chain=6, window=16, mtblock=16, tile=768, mt_off=True),
+        "c8_w32_m16_t768": wvar(chain=8, window=32, mtblock=16, tile=768),
+        "c6_w16_m16_t512": wvar(chain=6, window=16, mtblock=16, tile=512),
+        "c6_w16_m16_t768_pre64": wvar(chain=6, window=16, mtblock=16, tile=768, prepass=64),
+        "c6_w16_m16_t768_pre8": wvar(chain=6, window=16, mtblock=16, tile=768, prepass=8),
     }
+    for ls in (8, 24, 32):
+        lay_ls = build_layout(scene, leaf_size=ls)
+        variants[f"leaf{ls}_c6_w16_m16_t768"] = wvar(
+            lay_=lay_ls, chain=6, window=16, mtblock=16, tile=768
+        )
 
     n = W * H
     for wname in args.workloads.split(","):

@@ -463,6 +463,7 @@ def _window_kernel(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
+    mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
 ):
     if n_prepass:
         pre_ref, out_ref = rest
@@ -573,7 +574,8 @@ def _window_kernel(
             return i + 1, _mt8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
                                latch=latch)
 
-        _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
+        if not mt_off:
+            _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
 
         # advance lanes off their (tested) leaf rows
         onleaf = mask & isleaf8
@@ -606,6 +608,7 @@ def intersect_bvh_window(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
+    mt_off: bool = False,
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
 
@@ -640,6 +643,7 @@ def intersect_bvh_window(
         window=window,
         mtblock=mtblock,
         latch=latch,
+        mt_off=mt_off,
     )
     in_specs = [
         pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),

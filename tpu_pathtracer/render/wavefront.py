@@ -65,6 +65,22 @@ class PathState(NamedTuple):
     pixel: jnp.ndarray         # (N,) uint32 absolute pixel id owning this lane
 
 
+class ShadowPack(NamedTuple):
+    """A deferred NEE shadow query (the reference's LightSamplingRay,
+    renderer/Raytracing.h:71-83).
+
+    The shadow ray's origin is the SAME hit point the next path ray departs
+    from, so the pack rides the next bounce's wavefront sort instead of paying
+    its own ``lax.sort`` (~40 ms per 2M lanes on v5e — the sort network
+    dominates; extra payload planes cost ~1 ms each)."""
+
+    to_light: jnp.ndarray      # (3, N) unit direction to the sampled light point
+    cap: jnp.ndarray           # (N,) range cap just past the light sample
+    target: jnp.ndarray        # (N,) int32 light triangle that must be nearest
+    contrib: jnp.ndarray       # (S, N) precomputed radiance if unoccluded
+    ok: jnp.ndarray            # (N,) bool: query live
+
+
 def initial_path_state(origins, directions, samples: int, pixel=None) -> PathState:
     num = origins.shape[1]
     if pixel is None:
@@ -122,34 +138,86 @@ def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
     return (dead << 30) | (coarse << 20) | (octa << 12) | fine
 
 
-def sort_wavefront(state: PathState, wmin, winv) -> PathState:
+def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
-    (key + pixel id as tiebreak + every state plane as payload) — measured
-    ~26 ms for 2M rays on v5e vs ~410 ms for gather-based permutation."""
+    (key + pixel id as tiebreak + every state plane as payload).
+
+    The sort NETWORK dominates the cost (~35-45 ms for 2M lanes on v5e,
+    nearly independent of payload count), so the deferred shadow ``pack``
+    rides along as extra payload planes instead of being sorted separately.
+    Returns ``state`` or ``(state, pack)`` accordingly.
+    """
     key = ray_sort_key(state, wmin, winv)
+    samples = state.throughput.shape[0]
+    if pack is None:
+        planes = [
+            state.origin[0], state.origin[1], state.origin[2],
+            state.direction[0], state.direction[1], state.direction[2],
+            *[state.throughput[s] for s in range(samples)],
+            *[state.radiance[s] for s in range(samples)],
+            state.pdf, state.prev_diffuse, state.ior,
+            state.alive.astype(jnp.int8),
+        ]
+        out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
+        pixel = out[1]
+        p = out[2:]
+        return PathState(
+            origin=jnp.stack(p[0:3]),
+            direction=jnp.stack(p[3:6]),
+            throughput=jnp.stack(p[6:6 + samples]),
+            radiance=jnp.stack(p[6 + samples:6 + 2 * samples]),
+            pdf=p[6 + 2 * samples],
+            prev_diffuse=p[7 + 2 * samples],
+            ior=p[8 + 2 * samples],
+            alive=p[9 + 2 * samples].astype(bool),
+            pixel=pixel,
+        )
+    # The TPU backend's variadic-sort lowering is super-linear in OPERAND
+    # COUNT (compile: 11 planes ~106 s, 18 ~248 s, 27+ explodes; runtime is
+    # nearly operand-independent).  Pack the small integer fields into one
+    # uint32 plane and recover ``alive`` from the sorted key's dead bit
+    # (ray_sort_key bit 30) so the shadow-carrying sort stays at 24 operands.
+    flags = (
+        jnp.where(pack.ok, jnp.uint32(1), jnp.uint32(0))
+        | (state.prev_diffuse.astype(jnp.uint32) << 1)
+        | (pack.target.astype(jnp.uint32) << 2)
+    )
     planes = [
         state.origin[0], state.origin[1], state.origin[2],
         state.direction[0], state.direction[1], state.direction[2],
-        *[state.throughput[s] for s in range(state.throughput.shape[0])],
-        *[state.radiance[s] for s in range(state.radiance.shape[0])],
-        state.pdf, state.prev_diffuse, state.ior,
-        state.alive.astype(jnp.int8),
+        *[state.throughput[s] for s in range(samples)],
+        *[state.radiance[s] for s in range(samples)],
+        state.pdf, state.ior,
+        pack.to_light[0], pack.to_light[1], pack.to_light[2],
+        pack.cap,
+        *[pack.contrib[s] for s in range(samples)],
+        flags,
     ]
     out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
+    skey = out[0]
     pixel = out[1]
     p = out[2:]
-    samples = state.throughput.shape[0]
-    return PathState(
+    fl = p[12 + 3 * samples]
+    new_state = PathState(
         origin=jnp.stack(p[0:3]),
         direction=jnp.stack(p[3:6]),
         throughput=jnp.stack(p[6:6 + samples]),
         radiance=jnp.stack(p[6 + samples:6 + 2 * samples]),
         pdf=p[6 + 2 * samples],
-        prev_diffuse=p[7 + 2 * samples],
-        ior=p[8 + 2 * samples],
-        alive=p[9 + 2 * samples].astype(bool),
+        prev_diffuse=((fl >> 1) & jnp.uint32(1)).astype(jnp.float32),
+        ior=p[7 + 2 * samples],
+        alive=(skey >> 30) == 0,
         pixel=pixel,
     )
+    q = p[8 + 2 * samples:]
+    new_pack = ShadowPack(
+        to_light=jnp.stack(q[0:3]),
+        cap=q[3],
+        target=(fl >> 2).astype(jnp.int32),
+        contrib=jnp.stack(q[4:4 + samples]),
+        ok=(fl & jnp.uint32(1)) == 1,
+    )
+    return new_state, new_pack
 
 
 def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
@@ -238,12 +306,17 @@ def trace_bounce(
     with_stats: bool = False,
     shadow_sort_bounds=None,
     coherent: bool = False,
+    defer_shadow: bool = False,
 ):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
     Mirrors intersectionHandler + lightSamplingHandler
     (reference: renderer/Shaders.metal:105-231).  ``coherent`` is a static
     performance hint: camera wavefronts get the big-tile kernel variant.
+    With ``defer_shadow`` the NEE occlusion query is returned as a
+    :class:`ShadowPack` instead of being traced here — it rides the next
+    bounce's wavefront sort (one lax.sort serves both, saving the ~40 ms
+    sort network per bounce) and resolves in :func:`resolve_shadow`.
     """
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
@@ -359,6 +432,23 @@ def trace_bounce(
     # ---- shadow intersect + NEE resolve (reference: renderer/Shaders.metal:214-231) ----
     # range cap just past the sampled light point: pure traversal cull,
     # cannot change which hit is nearest within the range
+    pack = ShadowPack(
+        to_light=to_light,
+        cap=dist + 4.0 * eps,
+        target=target,
+        contrib=nee_contrib,
+        ok=light_ok,
+    )
+    if defer_shadow:
+        # the query's origin == new_state.origin (hp + eps*n): it rides the
+        # next bounce's wavefront sort and resolves there (resolve_shadow)
+        if with_stats:
+            stats = {
+                "path": jnp.sum(state.alive.astype(jnp.int32)),
+                "shadow": jnp.sum(light_ok.astype(jnp.int32)),
+            }
+            return new_state, pack, stats
+        return new_state, pack
     if shadow_sort_bounds is not None:
         wmin_s, winv_s = shadow_sort_bounds
         shadow_clear = occlusion_query_sorted(
@@ -387,6 +477,24 @@ def trace_bounce(
         }
         return new_state, stats
     return new_state
+
+
+def resolve_shadow(
+    intersect: IntersectFn, state: PathState, pack: ShadowPack, eps: float
+) -> PathState:
+    """Resolve a deferred NEE pack against the (sorted) wavefront: the shadow
+    origin is the lane's current path origin (same hit point).  Mirrors
+    lightSamplingHandler (reference: renderer/Shaders.metal:214-231)."""
+    hit = intersect(state.origin, pack.to_light, pack.ok, t_max=pack.cap)
+    clear = (
+        pack.ok
+        & hit.valid
+        & (hit.t >= eps)
+        & (hit.tri == pack.target.astype(jnp.int32))
+    )
+    return state._replace(
+        radiance=state.radiance + jnp.where(clear[None], pack.contrib, 0.0)
+    )
 
 
 def render_sample(
@@ -441,7 +549,10 @@ def render_sample(
             for a in range(3)
         )
         winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
-    shadow_bounds = (wmin, winv) if (do_sort and cfg.sort_shadows) else None
+    # In the sorted pipeline the shadow query is deferred onto the shared
+    # sort below, which supersedes the round-1 standalone shadow sort
+    # (occlusion_query_sorted — kept for the unsorted path's API parity).
+    shadow_bounds = None
 
     def shade(b, st, coherent=False):
         uniforms = bounce_uniforms(
@@ -450,18 +561,35 @@ def render_sample(
         return trace_bounce(
             scene, cfg, intersect, b, st, uniforms,
             shadow_sort_bounds=shadow_bounds, coherent=coherent,
+            defer_shadow=do_sort,
         )
 
     # bounce 0 is camera-coherent already (block order); sort before each
     # secondary bounce
-    state = shade(jnp.int32(0), state, coherent=True)
+    if do_sort:
+        # deferred-shadow pipeline: ONE sort per bounce carries both the next
+        # path wavefront and the previous bounce's NEE pack (whose origin is
+        # the same hit point); the pack resolves right after the sort
+        state, pack = shade(jnp.int32(0), state, coherent=True)
 
-    def body(b, st):
-        if do_sort:
-            st = sort_wavefront(st, wmin, winv)
-        return shade(b, st)
+        def body(b, carry):
+            st, pk = carry
+            st, pk = sort_wavefront(st, wmin, winv, pk)
+            st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
+            return shade(b, st)
 
-    state = jax.lax.fori_loop(1, cfg.max_path_length, body, state)
+        state, pack = jax.lax.fori_loop(
+            1, cfg.max_path_length, body, (state, pack)
+        )
+        # the final bounce's pack is empty by construction: NEE is gated by
+        # bounce + 1 < max_path_length (reference: renderer/Shaders.metal:158)
+    else:
+        state = shade(jnp.int32(0), state, coherent=True)
+
+        def body(b, st):
+            return shade(b, st)
+
+        state = jax.lax.fori_loop(1, cfg.max_path_length, body, state)
 
     if do_sort:
         # lanes are in sorted order: scatter radiance back by pixel id
