@@ -68,17 +68,49 @@ def main():
 
     variants = {
         "base_c6_w16_m16_t768": wvar(chain=6, window=16, mtblock=16, tile=768),
-        "MTOFF_c6_w16_m16_t768": wvar(chain=6, window=16, mtblock=16, tile=768, mt_off=True),
-        "c8_w32_m16_t768": wvar(chain=8, window=32, mtblock=16, tile=768),
-        "c6_w16_m16_t512": wvar(chain=6, window=16, mtblock=16, tile=512),
-        "c6_w16_m16_t768_pre64": wvar(chain=6, window=16, mtblock=16, tile=768, prepass=64),
-        "c6_w16_m16_t768_pre8": wvar(chain=6, window=16, mtblock=16, tile=768, prepass=8),
     }
-    for ls in (8, 24, 32):
-        lay_ls = build_layout(scene, leaf_size=ls)
+    lays = {16: lay}
+    for ls in (32, 48):
+        lays[ls] = build_layout(scene, leaf_size=ls)
         variants[f"leaf{ls}_c6_w16_m16_t768"] = wvar(
-            lay_=lay_ls, chain=6, window=16, mtblock=16, tile=768
+            lay_=lays[ls], chain=6, window=16, mtblock=16, tile=768
         )
+
+    # ---- occlusion workload: shadow rays from the diffuse hit points ----
+    def occl_workloads():
+        o, d, a, _ = workloads["diffuse_sorted"]
+        # aim at a fixed point on the light with jitter; cap at the distance
+        lp = jnp.array([0.0, 1.95, 1.2])[:, None]
+        tl = lp - o
+        dist = jnp.sqrt(jnp.sum(tl * tl, axis=0))
+        tl = tl / jnp.maximum(dist, 1e-30)[None]
+        return o, tl, a, dist + 4e-4
+
+    oo, od, oa, ocap = occl_workloads()
+    occl_variants = {}
+    for nm, ls in [("v1_leaf16", 16), ("v1_leaf32", 32)]:
+        ly = lays[ls]
+        occl_variants[nm] = jax.jit(
+            lambda o, d, a, c, ly=ly: jnp.sum(
+                intersect_bvh_pallas(
+                    o, d, ly, active=a, tile=3072, t_max=c,
+                    resolve=False, prepass=0,
+                ).t[::997]
+            )
+        )
+    for nm, ls in [("win_leaf16", 16), ("win_leaf32", 32)]:
+        ly = lays[ls]
+        occl_variants[nm] = jax.jit(
+            lambda o, d, a, c, ly=ly: jnp.sum(
+                intersect_bvh_window(
+                    o, d, ly, active=a, tile=3072, t_max=c,
+                    resolve=False, window=16, mtblock=16, chain=6,
+                ).t[::997]
+            )
+        )
+    for nm, fn in occl_variants.items():
+        t = timeit(fn, oo, od, oa, ocap, reps=args.reps)
+        print(f"occlusion          {nm:22s} {t*1e3:8.2f} ms", flush=True)
 
     n = W * H
     for wname in args.workloads.split(","):

@@ -142,6 +142,7 @@ def main():
     rng = np.random.default_rng(0)
     idx = rng.choice(np.flatnonzero(valid), 1500, replace=False)
     stats = {"dfs": [0, 0], "ordered": [0, 0]}
+    nofb = []  # leaf-box crossings with prepass prime only (no MT feedback)
     for i in idx:
         oi, di = o[:, i], d[:, i]
         # prepass prime
@@ -158,10 +159,27 @@ def main():
             )
             stats[mode][0] += ni
             stats[mode][1] += nl
+        # candidate-pair pipeline input: how many leaf AABBs does the primed
+        # segment cross when best_t never shrinks during the sweep?
+        inv = np.where(np.abs(di) > 1e-12, 1.0 / di, np.inf)
+        cnt = 0
+        for nleaf_ in np.flatnonzero(counts > 0):
+            t0 = (bmin[nleaf_] - oi) * inv
+            t1 = (bmax[nleaf_] - oi) * inv
+            enter = np.minimum(t0, t1).max()
+            exit_ = np.maximum(t0, t1).min()
+            if enter <= exit_ and exit_ > 0 and enter < best:
+                cnt += 1
+        nofb.append(cnt)
     n = len(idx)
     for mode, (ni, nl) in stats.items():
         print(f"{mode:8s}: internal {ni/n:6.1f}  leaf {nl/n:5.1f}  "
               f"(~MT tests {nl/n*lay.max_leaf:6.0f})")
+    nofb = np.array(nofb)
+    print(f"no-feedback leaf-box candidates (leaf{lay.max_leaf}): "
+          f"mean {nofb.mean():.1f}  p50 {np.percentile(nofb,50):.0f}  "
+          f"p95 {np.percentile(nofb,95):.0f}  p99 {np.percentile(nofb,99):.0f}  "
+          f"max {nofb.max()}")
 
 
 if __name__ == "__main__":

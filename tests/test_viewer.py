@@ -1,0 +1,53 @@
+"""Live HTTP viewer: serve a real renderer, poll page/stats/frame."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.renderer import Renderer
+from tpu_pathtracer.viewer import ViewerServer
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_viewer_serves_progressive_render():
+    cfg = RenderConfig(samples_per_frame=1, max_path_length=2, intersector="brute")
+    r = Renderer("cornellbox", cfg=cfg, width=32, height=24)
+    server = ViewerServer(r, scene_name="cornellbox", host="127.0.0.1", port=0)
+
+    t = threading.Thread(
+        target=server.serve_while_rendering, kwargs={"frames": 0}, daemon=True
+    )
+    t.start()
+    try:
+        status, ctype, body = _get(server.port, "/")
+        assert status == 200 and "text/html" in ctype and b"frame.png" in body
+
+        status, ctype, body = _get(server.port, "/frame.png")
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+        status, ctype, body = _get(server.port, "/stats.json")
+        stats = json.loads(body)
+        assert stats["width"] == 32 and stats["height"] == 24
+        assert stats["frame"] >= 0 and stats["scene"] == "cornellbox"
+
+        import urllib.error
+
+        try:
+            _get(server.port, "/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+        t.join(timeout=60)
+    assert not t.is_alive()
+    assert r.frame_index >= 1
+    assert np.isfinite(r.image()).all()

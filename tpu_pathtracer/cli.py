@@ -32,7 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
     p.add_argument("--no-pallas", action="store_true")
-    p.add_argument("--leaf-size", type=int, default=16)
+    p.add_argument("--leaf-size", type=int, default=32)
     p.add_argument("--builder", choices=("auto", "sah", "lbvh"), default="auto",
                    help="BVH builder: native C++ SAH or jittable JAX LBVH")
     p.add_argument("--no-accumulate", action="store_true")
@@ -53,6 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write a progressive PNG preview every N frames")
     p.add_argument("--preview-path", default="preview.png")
     p.add_argument("--profile-dir", help="capture a jax.profiler trace here")
+    p.add_argument("--serve", type=int, metavar="PORT",
+                   help="serve a live progressive viewer on this port while "
+                        "rendering (the GUI-app equivalent; 0 = any port)")
     return p
 
 
@@ -91,12 +94,19 @@ def main(argv=None) -> int:
         r.profile(args.profile_dir, frames=min(args.frames, 3))
         print("profile trace in", args.profile_dir)
 
-    for i in range(args.frames):
-        r.step()
-        if args.hud_every and (i + 1) % args.hud_every == 0:
-            print(r.hud(), flush=True)
-        if args.preview_every and (i + 1) % args.preview_every == 0:
-            r.save_png(args.preview_path)
+    if args.serve is not None:
+        from .viewer import ViewerServer
+
+        server = ViewerServer(r, scene_name=args.scene, port=args.serve)
+        print(f"live viewer on http://localhost:{server.port}/", flush=True)
+        server.serve_while_rendering(args.frames)
+    else:
+        for i in range(args.frames):
+            r.step()
+            if args.hud_every and (i + 1) % args.hud_every == 0:
+                print(r.hud(), flush=True)
+            if args.preview_every and (i + 1) % args.preview_every == 0:
+                r.save_png(args.preview_path)
     print(r.hud())
 
     if args.exr:

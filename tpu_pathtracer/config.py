@@ -60,6 +60,12 @@ class RenderConfig:
     comparison_mode: ComparisonMode = ComparisonMode.DISABLED
     comparison_scale: float = 10.0         # COMPARISON_SCALE
     spectrum_samples: int = 3              # SPECTRUM_SAMPLES (Spectrum.h:3)
+    # Hero-wavelength spectral sampling (spectrum_samples > 3 only): each
+    # path traces hero_wavelengths stratified-rotated wavelength bins instead
+    # of all S, and scatter-adds them into the S-bin accumulator with weight
+    # S/C — unbiased because the scene's BSDFs are non-dispersive (lobe
+    # sampling is wavelength-independent).  0 disables (trace all S bins).
+    hero_wavelengths: int = 0
 
     # --- framework extensions (no reference equivalent) ---
     noise_mode: NoiseMode = NoiseMode.PRNG

@@ -8,8 +8,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) array (values in [0, 1]) as an 8-bit RGB PNG."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) array (values in [0, 1]) as 8-bit RGB PNG bytes."""
     image = np.asarray(image)
     if image.ndim == 2:
         image = np.repeat(image[..., None], 3, axis=-1)
@@ -27,8 +27,15 @@ def write_png(path: str, image: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) array (values in [0, 1]) as an 8-bit RGB PNG."""
     with open(path, "wb") as fh:
-        fh.write(b"\x89PNG\r\n\x1a\n")
-        fh.write(chunk(b"IHDR", ihdr))
-        fh.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        fh.write(chunk(b"IEND", b""))
+        fh.write(png_bytes(image))

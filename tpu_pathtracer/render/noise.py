@@ -32,6 +32,18 @@ from ..config import NoiseMode, RenderConfig
 from ..ops import rng as rng_ops
 
 _CAMERA_SALT = 0x5CA1AB1E
+_HERO_SALT = 0x4E20
+
+
+def hero_bins(cfg: RenderConfig, key, frame, pids) -> jnp.ndarray:
+    """(C, N) stratified-rotated wavelength bin indices for hero sampling:
+    one uniform per path rotates a C-point equidistant set over the S bins."""
+    s = cfg.spectrum_samples
+    c = cfg.hero_wavelengths
+    salt = key_salt(key) ^ jnp.uint32(_HERO_SALT)
+    hu = rng_ops.uniforms(pids, frame, 0, salt, 1)[0]          # (N,)
+    offs = jnp.arange(c, dtype=jnp.float32)[:, None] / c       # (C, 1)
+    return (((hu[None, :] + offs) % 1.0) * s).astype(jnp.int32) % s
 
 
 def key_salt(key: jnp.ndarray) -> jnp.ndarray:

@@ -63,6 +63,9 @@ class PathState(NamedTuple):
     ior: jnp.ndarray           # (N,)  params.w: current medium IoR
     alive: jnp.ndarray         # (N,) bool (maxDistance > 0 in the reference)
     pixel: jnp.ndarray         # (N,) uint32 absolute pixel id owning this lane
+    # (C, N) int32 wavelength-bin indices under hero-wavelength sampling
+    # (cfg.hero_wavelengths > 0); None when every spectrum bin is traced.
+    bins: jnp.ndarray | None = None
 
 
 class ShadowPack(NamedTuple):
@@ -81,7 +84,9 @@ class ShadowPack(NamedTuple):
     ok: jnp.ndarray            # (N,) bool: query live
 
 
-def initial_path_state(origins, directions, samples: int, pixel=None) -> PathState:
+def initial_path_state(
+    origins, directions, samples: int, pixel=None, bins=None
+) -> PathState:
     num = origins.shape[1]
     if pixel is None:
         pixel = jnp.arange(num, dtype=jnp.uint32)
@@ -95,7 +100,20 @@ def initial_path_state(origins, directions, samples: int, pixel=None) -> PathSta
         ior=jnp.full((num,), IOR_AIR, jnp.float32),
         alive=jnp.ones((num,), bool),
         pixel=pixel,
+        bins=bins,
     )
+
+
+def select_spectrum(table: jnp.ndarray, idx: jnp.ndarray, bins) -> jnp.ndarray:
+    """Spectral table lookup: (S, M) x (N,) -> (S, N), or (C, N) under hero
+    sampling (``bins`` (C, N): each lane reads only its C wavelength bins)."""
+    vals = select_cols(table, idx)            # (S, N)
+    if bins is None:
+        return vals
+    out = jnp.zeros(bins.shape, jnp.float32)
+    for s in range(vals.shape[0]):
+        out = jnp.where(bins == s, vals[s][None, :], out)
+    return out
 
 
 def _morton5(q: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +156,33 @@ def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
     return (dead << 30) | (coarse << 20) | (octa << 12) | fine
 
 
+def _pack_bins(bins) -> list:
+    """(C, N) int32 hero-bin indices -> up to ceil(C/4) uint32 sort planes
+    (4 8-bit bins per plane; S <= 256)."""
+    if bins is None:
+        return []
+    c = bins.shape[0]
+    planes = []
+    for p in range(0, c, 4):
+        word = jnp.zeros(bins.shape[1:], jnp.uint32)
+        for j in range(p, min(p + 4, c)):
+            word = word | (bins[j].astype(jnp.uint32) << (8 * (j - p)))
+        planes.append(word)
+    return planes
+
+
+def _unpack_bins(planes, like):
+    """Inverse of :func:`_pack_bins`; ``like`` supplies C (None -> None)."""
+    if like is None:
+        return None
+    c = like.shape[0]
+    rows = []
+    for j in range(c):
+        word = planes[j // 4]
+        rows.append(((word >> (8 * (j % 4))) & jnp.uint32(0xFF)).astype(jnp.int32))
+    return jnp.stack(rows)
+
+
 def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
     (key + pixel id as tiebreak + every state plane as payload).
@@ -149,6 +194,8 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
     """
     key = ray_sort_key(state, wmin, winv)
     samples = state.throughput.shape[0]
+    bin_planes = _pack_bins(state.bins)
+    nb = len(bin_planes)
     if pack is None:
         planes = [
             state.origin[0], state.origin[1], state.origin[2],
@@ -157,6 +204,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
             *[state.radiance[s] for s in range(samples)],
             state.pdf, state.prev_diffuse, state.ior,
             state.alive.astype(jnp.int8),
+            *bin_planes,
         ]
         out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
         pixel = out[1]
@@ -171,6 +219,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
             ior=p[8 + 2 * samples],
             alive=p[9 + 2 * samples].astype(bool),
             pixel=pixel,
+            bins=_unpack_bins(p[10 + 2 * samples:10 + 2 * samples + nb], state.bins),
         )
     # The TPU backend's variadic-sort lowering is super-linear in OPERAND
     # COUNT (compile: 11 planes ~106 s, 18 ~248 s, 27+ explodes; runtime is
@@ -192,6 +241,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
         pack.cap,
         *[pack.contrib[s] for s in range(samples)],
         flags,
+        *bin_planes,
     ]
     out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
     skey = out[0]
@@ -208,6 +258,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
         ior=p[7 + 2 * samples],
         alive=(skey >> 30) == 0,
         pixel=pixel,
+        bins=_unpack_bins(p[13 + 3 * samples:13 + 3 * samples + nb], state.bins),
     )
     q = p[8 + 2 * samples:]
     new_pack = ShadowPack(
@@ -329,9 +380,10 @@ def trace_bounce(
 
     tri = jnp.where(valid, hit.tri, 0)
     mat = hit.mat
-    # material table: tiny -> gather-free compare/select chain
-    m_diffuse = select_cols(scene.mat_diffuse, mat)  # (S, N)
-    m_emissive = select_cols(scene.mat_emissive, mat)
+    # material table: tiny -> gather-free compare/select chain; spectral
+    # channels read only the lane's hero bins when hero sampling is on
+    m_diffuse = select_spectrum(scene.mat_diffuse, mat, state.bins)  # (C|S, N)
+    m_emissive = select_spectrum(scene.mat_emissive, mat, state.bins)
     m_ior = select_cols(scene.mat_ior, mat)
     m_type = select_cols(scene.mat_type, mat)
 
@@ -375,7 +427,7 @@ def trace_bounce(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
     nee_contrib = (
-        select_cols(scene.light_emissive, li)
+        select_spectrum(scene.light_emissive, li, state.bins)
         * m_diffuse * state.throughput * nee_scale[None]
     )
     shadow_origin = hp + hn * eps
@@ -427,6 +479,7 @@ def trace_bounce(
         ior=jnp.where(valid, nb_ior, state.ior),
         alive=valid,
         pixel=state.pixel,
+        bins=state.bins,
     )
 
     # ---- shadow intersect + NEE resolve (reference: renderer/Shaders.metal:214-231) ----
@@ -535,7 +588,18 @@ def render_sample(
     origins, directions = generate_rays_flat(
         camera, order.rows, order.cols, jitter, full_height, full_width
     )
-    state = initial_path_state(origins, directions, cfg.spectrum_samples, pids)
+    hero = (
+        cfg.hero_wavelengths
+        if (cfg.spectrum_samples > 3 and cfg.hero_wavelengths > 0)
+        else 0
+    )
+    if hero:
+        from .noise import hero_bins
+
+        bins = hero_bins(cfg, key, frame_index, pids)           # (C, N)
+        state = initial_path_state(origins, directions, hero, pids, bins=bins)
+    else:
+        state = initial_path_state(origins, directions, cfg.spectrum_samples, pids)
 
     do_sort = cfg.sort_rays and pallas_path
     if do_sort:
@@ -591,6 +655,17 @@ def render_sample(
 
         state = jax.lax.fori_loop(1, cfg.max_path_length, body, state)
 
+    if hero:
+        # each path covered C of the S accumulator bins: scatter-add its
+        # radiance into those bins with the S/C inverse-coverage weight
+        # (order-independent, so it serves both pipelines)
+        local = (state.pixel - jnp.uint32(row0 * full_width)).astype(jnp.int32)
+        flat = jnp.zeros(
+            (cfg.spectrum_samples, height * width), jnp.float32
+        ).at[state.bins, jnp.broadcast_to(local[None, :], state.bins.shape)].add(
+            state.radiance * (cfg.spectrum_samples / hero)
+        )
+        return flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
     if do_sort:
         # lanes are in sorted order: scatter radiance back by pixel id
         local = (state.pixel - jnp.uint32(row0 * full_width)).astype(jnp.int32)

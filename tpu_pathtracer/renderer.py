@@ -33,7 +33,7 @@ class Renderer:
         cfg: RenderConfig | None = None,
         seed: int = 0,
         camera: Camera | None = None,
-        leaf_size: int = 16,
+        leaf_size: int = 32,
         builder: str = "auto",
     ):
         self.cfg = cfg or RenderConfig()

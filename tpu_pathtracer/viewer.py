@@ -1,0 +1,134 @@
+"""Live progressive viewer: a dependency-free HTTP server over the renderer.
+
+The reference is a GUI app whose MTKView redraws the accumulating image at
+up to 120 Hz (reference: renderer/Renderer.mm:587, macos/GameViewController.m:19-34).
+A TPU host is headless, so the equivalent here is a tiny built-in HTTP server:
+the render loop steps progressive frames on the device while any browser
+polls ``/frame.png`` (current tonemapped accumulation) and ``/stats.json``
+(the reference's window-title HUD, renderer/Renderer.mm:631-637).
+
+Usage:
+    python -m tpu_pathtracer.cli --scene cornellbox --serve 8787
+    # then open http://localhost:8787/
+
+No external dependencies: http.server + the in-tree PNG encoder.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .io.png import png_bytes
+
+_PAGE = """<!doctype html>
+<html><head><title>tpu-pathtracer</title><style>
+  body { background: #111; color: #ddd; font: 13px monospace; margin: 1em; }
+  img { image-rendering: pixelated; border: 1px solid #333; max-width: 95vw; }
+  #hud { margin: 0.6em 0; white-space: pre; }
+</style></head><body>
+<div id="hud">connecting...</div>
+<img id="view" alt="render">
+<script>
+  const img = document.getElementById('view');
+  const hud = document.getElementById('hud');
+  async function tick() {
+    try {
+      const s = await (await fetch('stats.json')).json();
+      hud.textContent = `${s.scene}  ${s.width}x${s.height}  frame ${s.frame}` +
+        `  [${s.mrays_per_s.toFixed(2)} Mrays/s, ${s.ms_per_frame.toFixed(1)} ms/frame]`;
+      img.src = 'frame.png?t=' + Date.now();
+    } catch (e) { hud.textContent = 'renderer offline: ' + e; }
+  }
+  img.onload = () => setTimeout(tick, 250);
+  img.onerror = () => setTimeout(tick, 1000);
+  tick();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serve a renderer's progressive state while the caller steps it.
+
+    The HTTP handlers only touch ``renderer`` under ``self.lock``; callers
+    must hold the same lock while stepping (``serve_while_rendering`` does).
+    """
+
+    def __init__(self, renderer, scene_name: str = "scene",
+                 host: str = "0.0.0.0", port: int = 8787):
+        self.renderer = renderer
+        self.scene_name = scene_name
+        self.lock = threading.Lock()
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                try:
+                    if path in ("/", "/index.html"):
+                        self._send(200, "text/html", _PAGE.encode())
+                    elif path == "/frame.png":
+                        with viewer.lock:
+                            img = viewer.renderer.image(tonemapped=True, rgb=True)
+                        self._send(200, "image/png", png_bytes(img))
+                    elif path == "/stats.json":
+                        with viewer.lock:
+                            r = viewer.renderer
+                            stats = {
+                                "scene": viewer.scene_name,
+                                "frame": r.frame_index,
+                                "width": r.state.width,
+                                "height": r.state.height,
+                                "mrays_per_s": r._avg_rays_per_sec / 1e6,
+                                "ms_per_frame": r._avg_frame_time * 1e3,
+                            }
+                        self._send(200, "application/json",
+                                   json.dumps(stats).encode())
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except BrokenPipeError:
+                    pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._stop = threading.Event()
+
+    def start(self) -> None:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+
+    def stop(self) -> None:
+        """Stop both the render loop and the HTTP server (idempotent)."""
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def serve_while_rendering(self, frames: int = 0) -> None:
+        """Step the renderer (until ``stop()`` if frames == 0) while serving.
+
+        The device keeps rendering between HTTP polls; the lock only
+        serializes state reads against steps.
+        """
+        self.start()
+        try:
+            i = 0
+            while not self._stop.is_set() and (frames == 0 or i < frames):
+                with self.lock:
+                    self.renderer.step()
+                i += 1
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if not self._stop.is_set():
+                self.stop()
