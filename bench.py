@@ -25,9 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 
 from tpu_pathtracer.config import RenderConfig  # noqa: E402
-from tpu_pathtracer.render.stats import count_traced_rays  # noqa: E402
 from tpu_pathtracer.renderer import Renderer  # noqa: E402
-from tpu_pathtracer.scene import load_scene, scene_path  # noqa: E402
 
 BASELINE_MRAYS = 100.0
 
@@ -62,9 +60,15 @@ def main() -> None:
     pixels = args.width * args.height
     hud_mrays = pixels / frame_time / 1e6
 
-    # honest per-bounce ray count from a reduced-resolution probe
-    scene = load_scene(scene_path(args.scene))
-    traced = count_traced_rays(scene, cfg, args.height, args.width)
+    # honest per-bounce ray count: EXACT in-pipeline counters over the very
+    # frame indices measured above (no probe scaling)
+    from tpu_pathtracer.render.stats import count_traced_rays_exact
+
+    measured = tuple(range(args.warmup, args.warmup + args.frames))
+    traced = count_traced_rays_exact(
+        r.scene, cfg, args.height, args.width,
+        frame_indices=measured, intersect=r._intersect, seed=0,
+    )
     honest_mrays = traced / frame_time / 1e6
 
     img = r.image()

@@ -58,3 +58,27 @@ def test_rng_counter_determinism_and_sensitivity():
     e = np.asarray(uniforms(pid, 1, 2, jnp.uint32(10), 4))
     for other in (c, d, e):
         assert np.abs(a - other).min() > 0  # any counter change changes everything
+
+
+def test_exact_ray_count_matches_probe_at_same_resolution():
+    """count_traced_rays_exact (in-pipeline counters) == the probe run at
+    probe_scale=1 with the same intersector (both count alive path rays +
+    live shadow rays per bounce)."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render.stats import (
+        count_traced_rays,
+        count_traced_rays_exact,
+    )
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    scene = load_scene(scene_path("cornellbox"))
+    cfg = RenderConfig(samples_per_frame=1, max_path_length=4, intersector="brute")
+    probe = count_traced_rays(scene, cfg, 48, 64, probe_scale=1)
+    exact = count_traced_rays_exact(scene, cfg, 48, 64, frame_indices=(0,))
+    # the probe keys RNG directly on the base key while the exact counter
+    # mirrors sample_sum's per-frame/per-sample fold-ins, so paths differ
+    # slightly; counts must still agree to a fraction of a percent
+    assert abs(probe - exact) / exact < 0.005, (probe, exact)
+    # sanity bounds: between primaries-only and the dispatch upper bound
+    n = 48 * 64
+    assert n <= exact <= n * (2 * cfg.max_path_length + 1)

@@ -53,3 +53,27 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert int(out.frame_index) == 1
+
+
+def test_multihost_mesh_single_process_and_gather():
+    """make_multihost_mesh degrades to the local mesh when process_count==1
+    and gather_image returns the exact accumulator; the n_spp/ICI divisibility
+    guard raises an actionable error."""
+    from tpu_pathtracer.parallel.multihost import gather_image, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_spp=2)
+    assert mesh.shape["tiles"] * mesh.shape["spp"] == 8
+    assert mesh.shape["spp"] == 2
+
+    scene = load_scene(scene_path("cornellbox"))
+    cfg = RenderConfig(
+        samples_per_frame=2, max_path_length=2, intersector="brute"
+    )
+    state = shard_state(init_state(mesh.shape["tiles"] * 4, 16), mesh)
+    step = render_frame_distributed_jit(mesh, cfg)
+    state = step(state, scene)
+    img = gather_image(state)
+    np.testing.assert_array_equal(img, np.asarray(state.accum))
+
+    with pytest.raises(ValueError, match="ICI"):
+        make_multihost_mesh(n_spp=3)

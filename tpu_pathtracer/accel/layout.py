@@ -59,6 +59,13 @@ class BVHLayout(NamedTuple):
     meta4: jnp.ndarray           # (M8 + 8, 4) int32
     tris8: jnp.ndarray           # (T8, 24) float32
 
+    # leaf-box tables for the candidate-sweep kernels (ops/pallas_sweep.py):
+    # one row per LEAF in DFS order — (L16, 8) f32 [bmin, bmax, pad2] (pad
+    # rows inverted) + (L16, 4) i32 [first_tri, tri_count, dfs_node_id, 0].
+    leafbox: jnp.ndarray         # (L16, 8) float32
+    leafmeta: jnp.ndarray        # (L16, 4) int32
+    num_leaves: int
+
     # component-major copies for the pure-JAX traversal path
     bmin: jnp.ndarray            # (3, M)
     bmax: jnp.ndarray            # (3, M)
@@ -212,6 +219,24 @@ def dfs_layout(
     tris8 = np.zeros((t8, 24), np.float32)
     tris8[: num_tris + 1] = tris
 
+    # ---- leaf-box tables (candidate-sweep kernels) ----
+    num_leaves = len(leaf_pos)
+    l16 = max(-(-num_leaves // 16) * 16, 16)
+    leafbox = np.zeros((l16, 8), np.float32)
+    # pad rows: a degenerate far point-box with alternating axis signs —
+    # its slab enter is +inf (or enter > exit) for EVERY direction sign
+    # combination, so `enter < best_t` can never pass.  (An "inverted" box
+    # bmin=+B/bmax=-B is NOT safe here: with mixed direction signs each
+    # axis interval becomes [-inf, +inf] and the test passes.)
+    leafbox[:, 0:3] = (1e30, -1e30, 1e30)
+    leafbox[:, 3:6] = (1e30, -1e30, 1e30)
+    leafbox[:num_leaves, 0:3] = out_bmin[:, leaf_pos].T
+    leafbox[:num_leaves, 3:6] = out_bmax[:, leaf_pos].T
+    leafmeta = np.zeros((l16, 4), np.int32)
+    leafmeta[:num_leaves, 0] = out_first[leaf_pos]
+    leafmeta[:num_leaves, 1] = counts[leaf_pos]
+    leafmeta[:num_leaves, 2] = leaf_pos
+
     return BVHLayout(
         nodes=jnp.asarray(nodes),
         nodes_meta=jnp.asarray(nodes_meta),
@@ -224,6 +249,9 @@ def dfs_layout(
         nodes8=jnp.asarray(nodes8),
         meta4=jnp.asarray(meta4),
         tris8=jnp.asarray(tris8),
+        leafbox=jnp.asarray(leafbox),
+        leafmeta=jnp.asarray(leafmeta),
+        num_leaves=num_leaves,
         bmin=jnp.asarray(out_bmin),
         bmax=jnp.asarray(out_bmax),
         miss=jnp.asarray(new_miss),

@@ -115,6 +115,15 @@ class RenderConfig:
     # which is sorted by the PREVIOUS hit's geometry — measured 8.7x slower).
     # The result is scattered back by lane slot; estimator unchanged.
     sort_shadows: bool = True
+    # Candidate-split traversal (ops/pallas_sweep.py): classify each bounce
+    # ray by how many leaf AABBs its primed segment crosses; <=1-candidate
+    # rays sort by that leaf and take a dense targeted-MT kernel, the rest
+    # walk the tree.  Results identical to the full walk.  Default OFF: on
+    # v5e the measured single fraction is only ~29% on real diffuse
+    # wavefronts and removing those lanes from the walk saves nothing (the
+    # multi-candidate lanes define the tile unions), so the extra sweep
+    # costs more than the split recovers (bench: 1637 -> 1752 ms/frame).
+    candidate_split: bool = False
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
     # Progressive frames kept in flight before the host blocks: the analog of

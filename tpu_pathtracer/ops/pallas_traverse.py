@@ -609,8 +609,10 @@ def intersect_bvh_window(
     mtblock: int = 8,
     latch: str = "argmin",
     mt_off: bool = False,
+    raw: bool = False,
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
+    ``raw`` returns the unresolved ((8, N) rows, t_max) pair instead.
 
     Same results as :func:`intersect_bvh_pallas`; the shading payload is
     resolved outside the kernel with one XLA gather.
@@ -663,7 +665,20 @@ def intersect_bvh_window(
         out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
     )(*inputs)
 
-    out = out[:, :n]
+    if raw:
+        return out[:, :n], t_max_arr
+    return resolve_window_payload(lay, out[:, :n], t_max_arr, resolve=resolve)
+
+
+def resolve_window_payload(
+    lay: BVHLayout, out: jnp.ndarray, t_max_arr, resolve: bool = True
+) -> HitShade:
+    """Raw (>=5, N) kernel rows [t, u, v, row, orig, ...] -> HitShade.
+
+    Shading payload: ONE XLA row gather + fused elementwise (identical
+    arithmetic to the v1 kernel's in-kernel phase 2).
+    """
+    n = out.shape[1]
     t = jnp.where(out[0] < t_max_arr, out[0], jnp.inf)
     u, v = out[1], out[2]
     if not resolve:
@@ -675,8 +690,6 @@ def intersect_bvh_window(
             pos=jnp.zeros((3, n), jnp.float32),
             normal=jnp.zeros((3, n), jnp.float32),
         )
-    # shading payload: ONE XLA row gather + fused elementwise (identical
-    # arithmetic to the v1 kernel's in-kernel phase 2)
     rows = jnp.take(lay.tris, out[3].astype(jnp.int32), axis=0)  # (N, 24)
     w0 = 1.0 - u - v
     px = rows[:, 0] + u * rows[:, 3] + v * rows[:, 6]
@@ -722,7 +735,7 @@ def make_pallas_intersector(
       resolve, big tiles.
     """
 
-    def fn(o, d, active, t_max=None, coherent=False):
+    def fn(o, d, active, t_max=None, coherent=False, cand_single=None):
         if t_max is not None:
             # capped occlusion-style query (shadow rays): v1 kernel skips the
             # payload resolve and the cap prunes subtrees beyond the light
@@ -736,6 +749,26 @@ def make_pallas_intersector(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
                     prepass=prepass, chain=chain,
                 )
+            if cand_single is not None:
+                # candidate split (see ops/pallas_sweep.py): lanes whose
+                # primed segment crosses <= 1 leaf box — the sorted majority —
+                # take the dense sweep-MT kernel; the rest walk the tree
+                from .pallas_sweep import intersect_sweep1
+
+                single = active & cand_single
+                multi = active & jnp.logical_not(cand_single)
+                raw_a, tmax_a = intersect_sweep1(
+                    o, d, lay, active=single, tile=secondary_tile,
+                    t_min=t_min, prepass=prepass,
+                )
+                raw_b, _ = intersect_bvh_window(
+                    o, d, lay, t_min=t_min, active=multi, tile=secondary_tile,
+                    prepass=prepass, chain=secondary_chain,
+                    window=secondary_window, mtblock=secondary_mtblock,
+                    raw=True,
+                )
+                raw = jnp.where(cand_single[None, :], raw_a, raw_b)
+                return resolve_window_payload(lay, raw, tmax_a)
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
                 prepass=prepass, chain=secondary_chain,
@@ -745,4 +778,13 @@ def make_pallas_intersector(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
 
+    def _sweep_count(o, d, active):
+        from .pallas_sweep import sweep_count
+
+        return sweep_count(
+            o, d, lay, active=active, tile=secondary_tile,
+            t_min=t_min, prepass=prepass,
+        )
+
+    fn.sweep_count = _sweep_count
     return fn

@@ -50,9 +50,49 @@ def _probe(scene: Scene, cfg: RenderConfig, height: int, width: int, key):
 def count_traced_rays(
     scene: Scene, cfg: RenderConfig, height: int, width: int, probe_scale: int = 4
 ) -> float:
-    """Estimated rays traced per frame at (height, width), 1 spp."""
+    """Estimated rays traced per frame at (height, width), 1 spp: probes at
+    1/probe_scale resolution with the brute intersector and scales by area.
+    Prefer :func:`count_traced_rays_exact` for benchmark numerators."""
     ph = max(height // probe_scale, 8)
     pw = max(width // probe_scale, 8)
     probe = float(_probe(scene, cfg, ph, pw, jax.random.PRNGKey(0)))
     scale = (height * width) / (ph * pw)
     return probe * scale * cfg.samples_per_frame
+
+
+def count_traced_rays_exact(
+    scene: Scene,
+    cfg: RenderConfig,
+    height: int,
+    width: int,
+    frame_indices=(0,),
+    intersect=None,
+    camera: Camera | None = None,
+    seed: int = 0,
+) -> float:
+    """EXACT rays traced for the given frame indices, averaged per frame.
+
+    Runs the production pipeline (same RNG key schedule as
+    render/state.py:sample_sum) with in-pipeline alive/shadow counters —
+    no resolution scaling, no estimator.
+    """
+    from ..render.wavefront import render_sample
+
+    camera = camera or Camera.reference_default()
+
+    @partial(jax.jit, static_argnames=())
+    def one_frame(key, fi):
+        frame_key = jax.random.fold_in(key, fi)
+        total = jnp.float32(0)
+        for s in range(cfg.samples_per_frame):
+            k = jax.random.fold_in(frame_key, s)
+            _, c = render_sample(
+                scene, cfg, camera, height, width, k, fi, intersect,
+                with_ray_count=True,
+            )
+            total = total + c
+        return total
+
+    key = jax.random.PRNGKey(seed)
+    counts = [float(one_frame(key, jnp.int32(f))) for f in frame_indices]
+    return sum(counts) / len(counts)

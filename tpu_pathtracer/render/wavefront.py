@@ -124,13 +124,20 @@ def _morton5(q: jnp.ndarray) -> jnp.ndarray:
     return q
 
 
-def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
+def ray_sort_key(state: PathState, wmin, winv, cand=None) -> jnp.ndarray:
     """Wavefront sort key: (dead?, coarse origin cell, direction, fine cell).
 
     Dead lanes sort last (whole traversal tiles of them exit in one step —
     the compaction half); live lanes group by an 8^3 spatial cell, then by a
     16x16 octahedral direction bin, then by the finer 32^3 Morton bits — the
     layout that measured fastest for diffuse-bounce wavefronts on v5e.
+
+    ``cand``: optional (count, first_leaf) from the candidate sweep
+    (ops/pallas_sweep.py).  Lanes with count <= 1 get bit 29 clear and sort
+    by their candidate LEAF instead of the spatial cell, which makes their
+    targeted MT near-dense; multi-candidate lanes keep the morton key under
+    a set bit 29.  Bit 30 stays the dead bit (sort_wavefront recovers
+    ``alive`` and the single/multi mode from the sorted key).
     """
     d = state.direction
     o = state.origin
@@ -153,7 +160,15 @@ def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
     coarse = mort >> 6     # top 9 bits: 8^3 cell
     fine = mort & 63       # bottom 6 bits
     dead = jnp.logical_not(state.alive).astype(jnp.int32)
-    return (dead << 30) | (coarse << 20) | (octa << 12) | fine
+    key = (dead << 30) | (coarse << 20) | (octa << 12) | fine
+    if cand is None:
+        return key
+    count, first = cand
+    multi = (count >= 2).astype(jnp.int32)
+    single_key = (jnp.minimum(first, 2 ** 13 - 1) << 14) | (mort & 0x3FFF)
+    return (dead << 30) | (multi << 29) | jnp.where(
+        multi == 1, (coarse << 20) | (octa << 12) | fine, single_key
+    )
 
 
 def _pack_bins(bins) -> list:
@@ -183,16 +198,20 @@ def _unpack_bins(planes, like):
     return jnp.stack(rows)
 
 
-def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None):
+def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
+                   cand=None):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
     (key + pixel id as tiebreak + every state plane as payload).
 
-    The sort NETWORK dominates the cost (~35-45 ms for 2M lanes on v5e,
-    nearly independent of payload count), so the deferred shadow ``pack``
-    rides along as extra payload planes instead of being sorted separately.
-    Returns ``state`` or ``(state, pack)`` accordingly.
+    The sort NETWORK dominates the cost (~8-15 ms for 2M lanes on v5e,
+    nearly independent of payload count — but the TPU lowering's COMPILE
+    time is super-linear in operand count), so the deferred shadow ``pack``
+    rides along as extra payload planes instead of being sorted separately,
+    and the candidate-split classification travels inside the key bits.
+    Returns ``state``, or ``(state, pack, single_mask)`` when a pack is
+    given (``single_mask`` is None unless ``cand`` was supplied).
     """
-    key = ray_sort_key(state, wmin, winv)
+    key = ray_sort_key(state, wmin, winv, cand=cand)
     samples = state.throughput.shape[0]
     bin_planes = _pack_bins(state.bins)
     nb = len(bin_planes)
@@ -268,12 +287,15 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
         contrib=jnp.stack(q[4:4 + samples]),
         ok=(fl & jnp.uint32(1)) == 1,
     )
-    return new_state, new_pack
+    single = None
+    if cand is not None:
+        single = new_state.alive & (((skey >> 29) & 1) == 0)
+    return new_state, new_pack, single
 
 
 def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
-    def fn(o, d, active, t_max=None, coherent=False):
-        del active, t_max, coherent  # dense backend cannot skip lanes
+    def fn(o, d, active, t_max=None, coherent=False, cand_single=None):
+        del active, t_max, coherent, cand_single  # dense backend: all lanes
         hit = intersect_brute(o, d, scene.p0, scene.p1, scene.p2, t_min=t_min)
         return shade_from_scene(scene, hit)
 
@@ -358,6 +380,7 @@ def trace_bounce(
     shadow_sort_bounds=None,
     coherent: bool = False,
     defer_shadow: bool = False,
+    cand_single=None,
 ):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
@@ -372,7 +395,10 @@ def trace_bounce(
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
 
-    hit = intersect(state.origin, state.direction, state.alive, coherent=coherent)
+    hit = intersect(
+        state.origin, state.direction, state.alive,
+        coherent=coherent, cand_single=cand_single,
+    )
     # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
     # (reference: renderer/Shaders.metal:122-126 — note the nearest hit is NOT
     # skipped in favor of the next one; the whole path dies).
@@ -562,6 +588,7 @@ def render_sample(
     row0=0,
     full_height: int | None = None,
     full_width: int | None = None,
+    with_ray_count: bool = False,
 ) -> jnp.ndarray:
     """Trace one full path-traced sample for every pixel -> (H, W, S) radiance.
 
@@ -569,6 +596,11 @@ def render_sample(
     (used by parallel/ to shard pixels across a device mesh); the counter-based
     RNG keys on absolute pixel ids, so a tiled render is bit-identical to the
     single-chip one.
+
+    ``with_ray_count`` additionally returns the EXACT number of rays the
+    traversal processed (live path rays per bounce + live NEE shadow rays) as
+    a float32 scalar — the honest Mrays/s numerator (the reference HUD counts
+    only the primary dispatch size, renderer/Renderer.mm:631-637).
     """
     if intersect is None:
         intersect = make_brute_intersector(scene)
@@ -618,15 +650,19 @@ def render_sample(
     # (occlusion_query_sorted — kept for the unsorted path's API parity).
     shadow_bounds = None
 
-    def shade(b, st, coherent=False):
+    def shade(b, st, coherent=False, cand_single=None):
         uniforms = bounce_uniforms(
             cfg, key, frame_index, b, st.pixel, full_height, full_width
         )
         return trace_bounce(
             scene, cfg, intersect, b, st, uniforms,
             shadow_sort_bounds=shadow_bounds, coherent=coherent,
-            defer_shadow=do_sort,
+            defer_shadow=do_sort, cand_single=cand_single,
+            with_stats=with_ray_count,
         )
+
+    def _nrays(stats):
+        return (stats["path"] + stats["shadow"]).astype(jnp.float32)
 
     # bounce 0 is camera-coherent already (block order); sort before each
     # secondary bounce
@@ -634,26 +670,43 @@ def render_sample(
         # deferred-shadow pipeline: ONE sort per bounce carries both the next
         # path wavefront and the previous bounce's NEE pack (whose origin is
         # the same hit point); the pack resolves right after the sort
-        state, pack = shade(jnp.int32(0), state, coherent=True)
+        out0 = shade(jnp.int32(0), state, coherent=True)
+        state, pack = out0[0], out0[1]
+        nrays = _nrays(out0[2]) if with_ray_count else jnp.float32(0)
+        split = cfg.candidate_split and hasattr(intersect, "sweep_count")
 
         def body(b, carry):
-            st, pk = carry
-            st, pk = sort_wavefront(st, wmin, winv, pk)
+            st, pk, cnt = carry
+            cand = (
+                intersect.sweep_count(st.origin, st.direction, st.alive)
+                if split else None
+            )
+            st, pk, single = sort_wavefront(st, wmin, winv, pk, cand=cand)
             st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
-            return shade(b, st)
+            out = shade(b, st, cand_single=single)
+            cnt = cnt + _nrays(out[2]) if with_ray_count else cnt
+            return out[0], out[1], cnt
 
-        state, pack = jax.lax.fori_loop(
-            1, cfg.max_path_length, body, (state, pack)
+        state, pack, nrays = jax.lax.fori_loop(
+            1, cfg.max_path_length, body, (state, pack, nrays)
         )
         # the final bounce's pack is empty by construction: NEE is gated by
         # bounce + 1 < max_path_length (reference: renderer/Shaders.metal:158)
     else:
-        state = shade(jnp.int32(0), state, coherent=True)
+        out0 = shade(jnp.int32(0), state, coherent=True)
+        state = out0[0] if with_ray_count else out0
+        nrays = _nrays(out0[1]) if with_ray_count else jnp.float32(0)
 
-        def body(b, st):
-            return shade(b, st)
+        def body(b, carry):
+            st, cnt = carry
+            out = shade(b, st)
+            if with_ray_count:
+                return out[0], cnt + _nrays(out[1])
+            return out, cnt
 
-        state = jax.lax.fori_loop(1, cfg.max_path_length, body, state)
+        state, nrays = jax.lax.fori_loop(
+            1, cfg.max_path_length, body, (state, nrays)
+        )
 
     if hero:
         # each path covered C of the S accumulator bins: scatter-add its
@@ -665,12 +718,16 @@ def render_sample(
         ).at[state.bins, jnp.broadcast_to(local[None, :], state.bins.shape)].add(
             state.radiance * (cfg.spectrum_samples / hero)
         )
-        return flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
-    if do_sort:
+        img = flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
+    elif do_sort:
         # lanes are in sorted order: scatter radiance back by pixel id
         local = (state.pixel - jnp.uint32(row0 * full_width)).astype(jnp.int32)
         flat = jnp.zeros(
             (cfg.spectrum_samples, height * width), jnp.float32
         ).at[:, local].set(state.radiance)
-        return flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
-    return image_from_flat(state.radiance, order)  # (H, W, S)
+        img = flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
+    else:
+        img = image_from_flat(state.radiance, order)  # (H, W, S)
+    if with_ray_count:
+        return img, nrays
+    return img
