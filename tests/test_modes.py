@@ -201,3 +201,66 @@ def test_hero_wavelength_sorted_pipeline():
     r2.run(2)
     np.testing.assert_allclose(np.asarray(img), np.asarray(r2.state.accum),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_noise_structure_matches_reference():
+    """Structural (not statistical) TILED parity: the 64x64 tile is reused
+    with the reference's offset formula and intra-bounce component swizzles
+    (reference: renderer/Shaders.metal:91,135-138,152-159,204)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.render.noise import (
+        _tile,
+        _tile_lookup,
+        bounce_uniforms,
+        camera_jitter,
+    )
+
+    cfg = RenderConfig(noise_mode=NoiseMode.TILED, noise_dimensions=64)
+    key = jax.random.PRNGKey(5)
+    H, W = 96, 128
+    rows = jnp.arange(0, H, 7, dtype=jnp.int32)
+    cols = jnp.arange(0, len(rows) * 9, 9, dtype=jnp.int32) % W
+    pids = rows.astype(jnp.uint32) * W + cols.astype(jnp.uint32)
+    frame = jnp.int32(7)
+    bounce = jnp.int32(2)
+
+    u = bounce_uniforms(cfg, key, frame, bounce, pids, H, W)
+    tile = _tile(cfg, key, bounce)
+    smp = np.asarray(_tile_lookup(cfg, tile, frame, bounce, rows, cols, H))
+
+    # reference swizzles: light_select = .z, light_bary = .wx, lobe = .y,
+    # bounce_dir = .zw — including the correlated reuse of z and w
+    np.testing.assert_array_equal(np.asarray(u["light_select"]), smp[:, 2])
+    np.testing.assert_array_equal(np.asarray(u["light_bary"][0]), smp[:, 3])
+    np.testing.assert_array_equal(np.asarray(u["light_bary"][1]), smp[:, 0])
+    np.testing.assert_array_equal(np.asarray(u["lobe"]), smp[:, 1])
+    np.testing.assert_array_equal(np.asarray(u["bounce_dir"][0]), smp[:, 2])
+    np.testing.assert_array_equal(np.asarray(u["bounce_dir"][1]), smp[:, 3])
+
+    # tile-index formula: ((x + b + f/3) % 64, (y_bottom_up + b + f/5) % 64)
+    nd = 64
+    t = np.asarray(tile)
+    y = (H - 1) - np.asarray(rows)
+    ix = (np.asarray(cols) + 2 + 7 // 3) % nd
+    iy = (y + 2 + 7 // 5) % nd
+    np.testing.assert_array_equal(smp, t[ix + iy * nd])
+
+    # pixels exactly 64 apart share samples (the reference's correlation)
+    if W > 64:
+        r2 = jnp.array([3, 3], jnp.int32)
+        c2 = jnp.array([5, 69], jnp.int32)
+        p2 = r2.astype(jnp.uint32) * W + c2.astype(jnp.uint32)
+        u2 = bounce_uniforms(cfg, key, frame, bounce, p2, H, W)
+        np.testing.assert_array_equal(
+            np.asarray(u2["lobe"])[0], np.asarray(u2["lobe"])[1]
+        )
+
+    # camera jitter uses the camera tile's .xy with no frame offset
+    cj = np.asarray(camera_jitter(cfg, key, frame, pids, H, W))
+    cam_tile = np.asarray(_tile(cfg, key, -1))
+    jx = np.asarray(cols) % nd
+    jy = ((H - 1) - np.asarray(rows)) % nd
+    np.testing.assert_array_equal(cj[0], cam_tile[jx + jy * nd][:, 0])
+    np.testing.assert_array_equal(cj[1], cam_tile[jx + jy * nd][:, 1])
