@@ -110,3 +110,20 @@ def test_frames_in_flight_async_equals_sync():
     )
     r_gate.run(9)
     assert r_gate.frame_index == 4
+
+
+def test_cli_content_scale(tmp_path):
+    """--content-scale renders at drawable*s like the reference's
+    CONTENT_SCALE (Renderer.mm:642-643)."""
+    from tpu_pathtracer.cli import main
+    from tpu_pathtracer.io.exr import read_exr
+
+    out = str(tmp_path / "half.exr")
+    rc = main([
+        "--scene", "cornellbox", "--width", "128", "--height", "96",
+        "--content-scale", "0.5", "--frames", "1", "--depth", "2",
+        "--intersector", "brute", "-o", out,
+    ])
+    assert rc == 0
+    img, _ = read_exr(out)
+    assert img.shape == (48, 64, 3)

@@ -88,3 +88,54 @@ def test_triangle_sample_pdf():
         jnp.float32(2.0), jnp.float32(0.5), jnp.float32(3.0)
     )
     assert np.isclose(float(v), 9.0 / 1.0, rtol=1e-6)
+
+
+def _chi_square(observed, expected):
+    observed = np.asarray(observed, np.float64)
+    expected = np.asarray(expected, np.float64)
+    return float(((observed - expected) ** 2 / expected).sum())
+
+
+def test_chi_square_cosine_hemisphere():
+    """Goodness-of-fit for the cosine-weighted hemisphere sampler
+    (SURVEY.md §4: chi-square tests for samplers).  For pdf cos(t)/pi the
+    polar CDF is sin^2(t), so binning sin^2(t) uniformly gives
+    equal-probability bins; azimuth is uniform."""
+    import jax
+
+    from tpu_pathtracer.core.sampling import generate_diffuse_bounce
+
+    n = 200_000
+    u = jax.random.uniform(jax.random.PRNGKey(3), (2, n))
+    normal = jnp.zeros((3, n)).at[2].set(1.0)
+    d = np.asarray(generate_diffuse_bounce(u, normal))
+    assert (d[2] >= 0).all()
+
+    k = 20
+    # chi-square 0.999 quantile for k-1=19 dof ~ 43.8; use 50 for margin
+    crit = 50.0
+    sin2 = 1.0 - np.clip(d[2], 0, 1) ** 2
+    obs, _ = np.histogram(sin2, bins=np.linspace(0, 1, k + 1))
+    assert _chi_square(obs, np.full(k, n / k)) < crit, obs
+
+    phi = np.arctan2(d[1], d[0])
+    obs, _ = np.histogram(phi, bins=np.linspace(-np.pi, np.pi, k + 1))
+    assert _chi_square(obs, np.full(k, n / k)) < crit, obs
+
+
+def test_chi_square_light_selection():
+    """CDF light pick frequencies must match the area-proportional pdf
+    (reference table semantics, Renderer.mm:434-448)."""
+    import jax
+
+    from tpu_pathtracer.core.sampling import select_light_index
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    scene = load_scene(scene_path("cornellbox"))
+    pdf = np.asarray(scene.light_pdf)[:-1]  # drop sentinel
+    n = 200_000
+    u = jax.random.uniform(jax.random.PRNGKey(11), (n,))
+    li = np.asarray(select_light_index(u, scene.light_cdf))
+    obs = np.bincount(li, minlength=len(pdf) + 1)[: len(pdf)]
+    # 0.999 quantile for len(pdf)-1 dof is < 21 for the bundled scenes
+    assert _chi_square(obs, pdf * n) < 25.0, (obs, pdf * n)

@@ -24,8 +24,13 @@ from .scene.assets import DEFAULT_SCENE, SCENE_NAMES, golden_path
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default=DEFAULT_SCENE, choices=SCENE_NAMES)
-    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--width", type=int, default=960,
+                   help="display (drawable) width")
     p.add_argument("--height", type=int, default=540)
+    p.add_argument("--content-scale", type=float, default=1.0,
+                   help="render at width*s x height*s like the reference's "
+                        "CONTENT_SCALE drawable scaling (Raytracing.h:25; "
+                        "its compiled-in value is 0.5)")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--spp-per-frame", type=int, default=1)
     p.add_argument("--depth", type=int, default=8, help="MAX_PATH_LENGTH")
@@ -61,7 +66,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    # reference: dispatch size = drawable size * CONTENT_SCALE
+    # (renderer/Renderer.mm:642-643)
+    args.width = max(1, round(args.width * args.content_scale))
+    args.height = max(1, round(args.height * args.content_scale))
     cfg = RenderConfig(
+        content_scale=args.content_scale,
         max_path_length=args.depth,
         samples_per_frame=args.spp_per_frame,
         accumulate_image=not args.no_accumulate,

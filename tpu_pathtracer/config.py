@@ -56,7 +56,12 @@ class RenderConfig:
     animate_noise: bool = True             # ANIMATE_NOISE
     max_frames: int = 0                    # MAX_FRAMES (0 = unlimited)
     max_path_length: int = 8               # MAX_PATH_LENGTH
-    content_scale: float = 0.5             # CONTENT_SCALE
+    # CONTENT_SCALE: the reference renders at drawable * 0.5 (Raytracing.h:25,
+    # Renderer.mm:642-643).  The runtime surface takes explicit render sizes,
+    # so this records the display->render ratio; the CLI's --content-scale
+    # applies the reference's drawable semantics (default 1.0: sizes are the
+    # render resolution).
+    content_scale: float = 1.0
     comparison_mode: ComparisonMode = ComparisonMode.DISABLED
     comparison_scale: float = 10.0         # COMPARISON_SCALE
     spectrum_samples: int = 3              # SPECTRUM_SAMPLES (Spectrum.h:3)
