@@ -54,11 +54,21 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(args.frames):
         r.step()
+    r.sync()
     dt = time.perf_counter() - t0
 
     frame_time = dt / args.frames
     pixels = args.width * args.height
     hud_mrays = pixels / frame_time / 1e6
+
+    # best single frame (synced per frame): robust to transient relay
+    # stalls, which drift the mean by tens of percent hour-to-hour
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r.step()
+        r.sync()
+        best = min(best, time.perf_counter() - t0)
 
     # honest per-bounce ray count: EXACT in-pipeline counters over the very
     # frame indices measured above (no probe scaling)
@@ -80,6 +90,8 @@ def main() -> None:
         "hud_mrays_per_s": round(hud_mrays, 3),
         "rays_traced_per_frame": int(traced),
         "ms_per_frame": round(frame_time * 1e3, 3),
+        "best_ms_per_frame": round(best * 1e3, 3),
+        "best_mrays_per_s": round(traced / best / 1e6, 3),
         "spp_per_sec": round(1.0 / frame_time, 4),
         "scene": args.scene,
         "resolution": f"{args.width}x{args.height}",
