@@ -36,8 +36,8 @@ def main() -> None:
                     help="bench scene (default: the Cornell-box-with-mesh)")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--frames", type=int, default=6)
-    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--intersector", default="bvh")
     args = ap.parse_args()
@@ -50,25 +50,23 @@ def main() -> None:
 
     for _ in range(args.warmup):
         r.step()
-
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
-        r.step()
     r.sync()
-    dt = time.perf_counter() - t0
 
-    frame_time = dt / args.frames
-    pixels = args.width * args.height
-    hud_mrays = pixels / frame_time / 1e6
-
-    # best single frame (synced per frame): robust to transient relay
-    # stalls, which drift the mean by tens of percent hour-to-hour
-    best = float("inf")
-    for _ in range(3):
+    # Individually-synced frame times: the axon relay's throughput drifts by
+    # tens of percent hour-to-hour and stalls transiently, so a multi-frame
+    # mean is a bad estimator.  The MEDIAN of per-frame times is the headline
+    # denominator; best is the stall-free floor; all samples print for audit.
+    times = []
+    for _ in range(args.frames):
         t0 = time.perf_counter()
         r.step()
         r.sync()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    frame_time = float(np.median(times))
+    best = min(times)
+
+    pixels = args.width * args.height
+    hud_mrays = pixels / frame_time / 1e6
 
     # honest per-bounce ray count: EXACT in-pipeline counters over the very
     # frame indices measured above (no probe scaling)
@@ -90,8 +88,10 @@ def main() -> None:
         "hud_mrays_per_s": round(hud_mrays, 3),
         "rays_traced_per_frame": int(traced),
         "ms_per_frame": round(frame_time * 1e3, 3),
+        "mean_ms_per_frame": round(float(np.mean(times)) * 1e3, 3),
         "best_ms_per_frame": round(best * 1e3, 3),
         "best_mrays_per_s": round(traced / best / 1e6, 3),
+        "frame_times_ms": [round(t * 1e3, 1) for t in times],
         "spp_per_sec": round(1.0 / frame_time, 4),
         "scene": args.scene,
         "resolution": f"{args.width}x{args.height}",

@@ -47,7 +47,6 @@ def main():
         "depth2": base.replace(max_path_length=2),
         "depth4": base.replace(max_path_length=4),
         "depth8": base.replace(max_path_length=8),
-        "depth8_nosortshadow": base.replace(max_path_length=8, sort_shadows=False),
         "depth8_nosort": base.replace(max_path_length=8, sort_rays=False),
     }
     for name, cfg in cfgs.items():

@@ -145,6 +145,36 @@ def test_pallas_window_matches_v1(scene_and_layout):
     np.testing.assert_array_equal(np.asarray(hw_a.tri), np.asarray(hw_r.tri))
 
 
+def test_pallas_window_mtgroups_gapskip(scene_and_layout):
+    """Lane-sub-group MT and demanded-row gap-skipping are pure execution-
+    order optimizations: results must equal the baseline window kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=13)
+    with pltpu.force_tpu_interpret_mode():
+        h0 = pt.intersect_bvh_window(o, d, lay, tile=128)
+        variants = [
+            pt.intersect_bvh_window(o, d, lay, tile=128, gap_skip=True),
+            pt.intersect_bvh_window(o, d, lay, tile=128, mtgroups=2),
+            pt.intersect_bvh_window(
+                o, d, lay, tile=128, mtgroups=4, gap_skip=True
+            ),
+            pt.intersect_bvh_window(
+                o, d, lay, tile=128, mtgroups=4, gap_skip=True, latch="rows"
+            ),
+        ]
+    for hv in variants:
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hv.t))
+        np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(hv.tri))
+        np.testing.assert_array_equal(np.asarray(h0.u), np.asarray(hv.u))
+        np.testing.assert_array_equal(
+            np.asarray(h0.normal), np.asarray(hv.normal)
+        )
+
+
 def test_pallas_occlusion_capped(scene_and_layout):
     """resolve=False + t_max: the occlusion path must report exactly the
     hits the brute oracle finds within the cap."""

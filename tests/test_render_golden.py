@@ -5,6 +5,8 @@ This is the quantitative version of the reference's on-screen comparison modes
 the test spp plus the reference-vs-Mitsuba estimator gap (SURVEY.md §7d).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -101,3 +103,37 @@ def test_water_mirror_energy_split(quirks, lo, hi):
     assert np.isfinite(img).all()
     assert lo < m["mean_ratio"] < hi, m
     assert m["rel_mse"] < 0.75, m
+
+
+# ---- Self-golden exact gates (BVH path vs committed brute-force renders) ----
+# The committed EXRs (scripts/make_self_goldens.py) were rendered with the
+# BRUTE intersector at the SAME deterministic configuration these tests
+# re-render through the production BVH path: both sides share every sample,
+# so the comparison carries no estimator noise — any disagreement beyond
+# shared-edge tie-breaks is an intersection bug.  This removes the "Mitsuba
+# golden has different materials" escape hatch for the Water variants.
+
+_SG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "assets", "self_golden")
+
+
+@pytest.mark.parametrize("scene_name", [
+    "CornellBox-Water",
+    "CornellBox-Water-mirror",
+    "CornellBox-Water-plastic",
+])
+def test_bvh_matches_brute_self_golden(scene_name):
+    path = os.path.join(_SG_DIR, f"{scene_name}-8.exr")
+    if not os.path.exists(path):
+        pytest.skip("self-goldens not generated (scripts/make_self_goldens.py)")
+    gold, _ = read_exr(path)
+    scene = load_scene(scene_path(scene_name))
+    cfg = RenderConfig(samples_per_frame=1, max_path_length=8)
+    state = init_state(150, 200)
+    for _ in range(16):
+        state = render_frame_jit(state, scene, cfg)
+    img = np.asarray(state.accum)
+    assert np.isfinite(img).all()
+    m = metrics(img, gold)
+    assert m["rel_mse"] < 1e-3, m
+    assert 0.999 < m["mean_ratio"] < 1.001, m

@@ -14,7 +14,9 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import tempfile
 
 from .config import ComparisonMode, NoiseMode, RenderConfig
 from .renderer import Renderer
@@ -58,14 +60,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write a progressive PNG preview every N frames")
     p.add_argument("--preview-path", default="preview.png")
     p.add_argument("--profile-dir", help="capture a jax.profiler trace here")
+    p.add_argument("--compile-cache",
+                   default=os.path.join(tempfile.gettempdir(),
+                                        "tpu_pathtracer_jax_cache"),
+                   help="persistent XLA compilation cache directory "
+                        "(first 1080p compiles take minutes; the cache makes "
+                        "repeat runs instant; 'off' disables)")
     p.add_argument("--serve", type=int, metavar="PORT",
                    help="serve a live progressive viewer on this port while "
                         "rendering (the GUI-app equivalent; 0 = any port)")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="viewer bind address (endpoints are unauthenticated; "
+                        "use 0.0.0.0 to expose beyond loopback deliberately)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.compile_cache and args.compile_cache != "off":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # reference: dispatch size = drawable size * CONTENT_SCALE
     # (renderer/Renderer.mm:642-643)
     args.width = max(1, round(args.width * args.content_scale))
@@ -107,8 +123,13 @@ def main(argv=None) -> int:
     if args.serve is not None:
         from .viewer import ViewerServer
 
-        server = ViewerServer(r, scene_name=args.scene, port=args.serve)
-        print(f"live viewer on http://localhost:{server.port}/", flush=True)
+        if args.preview_every:
+            print("note: --preview-every is ignored with --serve "
+                  "(poll /frame.png instead)", file=sys.stderr)
+        server = ViewerServer(r, scene_name=args.scene,
+                              host=args.serve_host, port=args.serve)
+        print(f"live viewer on http://{args.serve_host}:{server.port}/",
+              flush=True)
         server.serve_while_rendering(args.frames)
     else:
         for i in range(args.frames):
@@ -117,6 +138,7 @@ def main(argv=None) -> int:
                 print(r.hud(), flush=True)
             if args.preview_every and (i + 1) % args.preview_every == 0:
                 r.save_png(args.preview_path)
+    r.sync()  # fold any partial in-flight window into the HUD EMA
     print(r.hud())
 
     if args.exr:

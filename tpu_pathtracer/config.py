@@ -115,11 +115,6 @@ class RenderConfig:
     # "sort-based ray compaction").  One lax.sort with the whole ray state as
     # payload (~26 ms at 2M rays) buys back seconds of divergent traversal.
     sort_rays: bool = True
-    # Sort NEE shadow rays by their own origin Morton code before the
-    # occlusion query (they inherit the path wavefront's order otherwise,
-    # which is sorted by the PREVIOUS hit's geometry — measured 8.7x slower).
-    # The result is scattered back by lane slot; estimator unchanged.
-    sort_shadows: bool = True
     # Candidate-split traversal (ops/pallas_sweep.py): classify each bounce
     # ray by how many leaf AABBs its primed segment crosses; <=1-candidate
     # rays sort by that leaf and take a dense targeted-MT kernel, the rest

@@ -463,6 +463,8 @@ def _window_kernel(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
+    mtgroups: int = 1,
+    gap_skip: bool = False,
     mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
 ):
     if n_prepass:
@@ -545,37 +547,66 @@ def _window_kernel(
             tgt = jnp.sum(jnp.where(move, nxt8, 0), axis=0)
             cur = jnp.where(jnp.any(move, axis=0), tgt, cur)
 
-        # leaf MT over the contiguous triangle range of the *demanded* leaf
-        # rows only (leaves where some lane is actually stuck) — the full
-        # window range tests ~3x more triangles than any lane needs
+        # leaf MT over the triangle ranges of the *demanded* leaf rows only
+        # (leaves where some lane is actually stuck).  Two granularity levers
+        # against the SIMD-union disease (each demanded leaf costing a
+        # full-tile-width block op while serving ~20 lanes):
+        #   * ``mtgroups``: split the tile into G static lane sub-groups,
+        #     each marching only ITS demanded range at 1/G vector width —
+        #     Morton-sorted lanes give sub-groups much smaller leaf unions;
+        #   * ``gap_skip``: advance the row cursor directly to the next
+        #     demanded row instead of marching the contiguous [lo, hi) span
+        #     (skips undemanded leaves lying between demanded ones).
         mask = ids == cur[None, :]
-        demand8 = jnp.any(mask & isleaf8, axis=1, keepdims=True)  # (8, 1)
         first8 = mblk[:, 1:2] >> 6
-        lo8 = jnp.where(demand8, first8, jnp.int32(2 ** 30))
-        hi8 = jnp.where(demand8, first8 + count8, jnp.int32(0))
-        t_lo = jnp.min(lo8)
-        t_hi = jnp.max(hi8)
-        a_lo = t_lo & ~jnp.int32(7)
-        nblocks = jnp.maximum(
-            jax.lax.div(t_hi - a_lo + mtblock - 1, jnp.int32(mtblock)),
-            jnp.int32(0),
-        )
-
-        def mt_cond(ic):
-            return ic[0] < nblocks
-
-        def mt_body(ic):
-            i, bst = ic
-            r0 = a_lo + i * mtblock
-            tb = tris_ref[pl.ds(r0, mtblock), :]
-            leafid = tb[:, 21:22].astype(jnp.int32)   # (B, 1)
-            pred = leafid == cur[None, :]
-            row_ids = (r0 + iota_b).astype(jnp.float32)
-            return i + 1, _mt8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
-                               latch=latch)
-
+        big = jnp.int32(2 ** 30)
+        sub = tile // mtgroups
         if not mt_off:
-            _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
+            bparts = [[] for _ in range(5)]
+            for g in range(mtgroups):
+                sl = slice(g * sub, (g + 1) * sub)
+                cur_g = cur[sl] if mtgroups > 1 else cur
+                mask_g = (ids == cur_g[None, :]) if mtgroups > 1 else mask
+                oxyz_g = tuple(c[sl] for c in oxyz) if mtgroups > 1 else oxyz
+                dxyz_g = tuple(c[sl] for c in dxyz) if mtgroups > 1 else dxyz
+                demand_g = jnp.any(mask_g & isleaf8, axis=1, keepdims=True)
+                lo8 = jnp.where(demand_g, first8, big)
+                hi8 = jnp.where(demand_g, first8 + count8, jnp.int32(0))
+                t_lo = jnp.min(lo8) & ~jnp.int32(7)
+                t_hi = jnp.max(hi8)
+                best_g = tuple(b[sl] for b in best) if mtgroups > 1 else best
+
+                def mt_cond(ic):
+                    return ic[0] < t_hi  # noqa: B023
+
+                def mt_body(ic, cur_g=cur_g, oxyz_g=oxyz_g, dxyz_g=dxyz_g,
+                            lo8=lo8, hi8=hi8):
+                    c, bst = ic
+                    tb = tris_ref[pl.ds(c, mtblock), :]
+                    leafid = tb[:, 21:22].astype(jnp.int32)   # (B, 1)
+                    pred = leafid == cur_g[None, :]
+                    row_ids = (c + iota_b).astype(jnp.float32)
+                    bst = _mt8(tb, pred, dxyz_g, oxyz_g, t_min, bst, row_ids,
+                               latch=latch)
+                    if gap_skip:
+                        # smallest demanded row >= c + mtblock (a straddling
+                        # range clamps to exactly c + mtblock, so the march
+                        # stays contiguous inside a demanded run)
+                        nc = jnp.min(jnp.where(
+                            hi8 > c + mtblock,
+                            jnp.maximum(lo8, c + mtblock), big,
+                        )) & ~jnp.int32(7)
+                    else:
+                        nc = c + mtblock
+                    return nc, bst
+
+                _, best_g = jax.lax.while_loop(mt_cond, mt_body, (t_lo, best_g))
+                for k in range(5):
+                    bparts[k].append(best_g[k])
+            if mtgroups > 1:
+                best = tuple(jnp.concatenate(bparts[k]) for k in range(5))
+            else:
+                best = tuple(bparts[k][0] for k in range(5))
 
         # advance lanes off their (tested) leaf rows
         onleaf = mask & isleaf8
@@ -608,6 +639,8 @@ def intersect_bvh_window(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
+    mtgroups: int = 1,
+    gap_skip: bool = False,
     mt_off: bool = False,
     raw: bool = False,
 ) -> HitShade:
@@ -619,6 +652,8 @@ def intersect_bvh_window(
     """
     n = o.shape[1]
     pad = (-n) % tile
+    if tile % mtgroups:
+        raise ValueError(f"tile {tile} not divisible by mtgroups {mtgroups}")
     if active is None:
         act = jnp.ones((n,), jnp.float32)
     else:
@@ -645,6 +680,8 @@ def intersect_bvh_window(
         window=window,
         mtblock=mtblock,
         latch=latch,
+        mtgroups=mtgroups,
+        gap_skip=gap_skip,
         mt_off=mt_off,
     )
     in_specs = [

@@ -57,6 +57,19 @@ def accumulate(accum, frame_index, color, accumulate_image: bool):
     return color + (accum - color) * jnp.where(frame_index > 0, factor, 0.0)
 
 
+def frame_rng_key(cfg: RenderConfig, key: jnp.ndarray, frame_index) -> jnp.ndarray:
+    """The per-frame RNG key schedule (single source of truth: sample_sum and
+    the exact ray counter in render/stats.py must derive identical keys).
+
+    With static TILED noise (reference ANIMATE_NOISE=0, Renderer.mm:485-497)
+    the tile data never re-rolls across frames — only the frame-offset tile
+    *lookup* (render/noise.py:_tile_lookup) varies — so the key is not folded.
+    """
+    if cfg.noise_mode == NoiseMode.TILED and not cfg.animate_noise:
+        return key
+    return jax.random.fold_in(key, frame_index)
+
+
 def sample_sum(
     scene: Scene,
     cfg: RenderConfig,
@@ -80,12 +93,7 @@ def sample_sum(
     psum-reduces over the sample axis.  Sample RNG keys on the absolute sample
     index, so every partition traces identical paths.
     """
-    frame_key = jax.random.fold_in(key, frame_index)
-    if cfg.noise_mode == NoiseMode.TILED and not cfg.animate_noise:
-        # static noise (reference ANIMATE_NOISE=0, Renderer.mm:485-497): the
-        # tile data never re-rolls across frames; only the frame-offset tile
-        # *lookup* (render/noise.py:_tile_lookup) varies per frame
-        frame_key = key
+    frame_key = frame_rng_key(cfg, key, frame_index)
     sample_count = cfg.samples_per_frame if sample_count is None else sample_count
 
     def one_sample(i, acc):

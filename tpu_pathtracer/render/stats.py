@@ -76,13 +76,14 @@ def count_traced_rays_exact(
     render/state.py:sample_sum) with in-pipeline alive/shadow counters —
     no resolution scaling, no estimator.
     """
+    from ..render.state import frame_rng_key
     from ..render.wavefront import render_sample
 
     camera = camera or Camera.reference_default()
 
     @partial(jax.jit, static_argnames=())
     def one_frame(key, fi):
-        frame_key = jax.random.fold_in(key, fi)
+        frame_key = frame_rng_key(cfg, key, fi)
         total = jnp.float32(0)
         for s in range(cfg.samples_per_frame):
             k = jax.random.fold_in(frame_key, s)

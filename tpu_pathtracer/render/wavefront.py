@@ -328,47 +328,6 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None) -> IntersectFn:
     return make_bvh_intersector(lay, scene)
 
 
-def _morton10(q: jnp.ndarray) -> jnp.ndarray:
-    """Spread 10 bits to every 3rd position (30-bit shadow sort cell)."""
-    return (_morton5(q >> 5) << 15) | _morton5(q & 31)
-
-
-def occlusion_query_sorted(intersect, origin, direction, ok, t_cap, target,
-                           wmin, winv, eps):
-    """Run an occlusion query with the rays re-sorted by origin Morton code.
-
-    NEE shadow rays inherit the path wavefront's order, which was sorted by
-    the PREVIOUS bounce's geometry — their own origins (the new hit points)
-    are scattered, which measured 8.7x slower on v5e.  Origin-Morton order
-    makes shadow tiles coherent (co-located origins, converging directions).
-    Returns the per-lane "target visible" boolean in the ORIGINAL order.
-    """
-    n = origin.shape[1]
-    key = jnp.logical_not(ok).astype(jnp.int32) << 30
-    for axis in range(3):
-        q = jnp.clip(
-            (origin[axis] - wmin[axis]) * winv[axis] * 1024.0, 0.0, 1023.0
-        ).astype(jnp.int32)
-        key = key | (_morton10(q) << (2 - axis))
-    slot = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort(
-        (key, slot,
-         origin[0], origin[1], origin[2],
-         direction[0], direction[1], direction[2],
-         ok.astype(jnp.int8), t_cap, target.astype(jnp.float32)),
-        num_keys=1,
-    )
-    slot_s = out[1]
-    o_s = jnp.stack(out[2:5])
-    d_s = jnp.stack(out[5:8])
-    ok_s = out[8].astype(bool)
-    cap_s = out[9]
-    target_s = out[10].astype(jnp.int32)
-    hit = intersect(o_s, d_s, ok_s, t_max=cap_s)
-    clear_s = ok_s & hit.valid & (hit.t >= eps) & (hit.tri == target_s)
-    return jnp.zeros((n,), bool).at[slot_s].set(clear_s)
-
-
 def trace_bounce(
     scene: Scene,
     cfg: RenderConfig,
@@ -377,7 +336,6 @@ def trace_bounce(
     state: PathState,
     uniforms: dict,
     with_stats: bool = False,
-    shadow_sort_bounds=None,
     coherent: bool = False,
     defer_shadow: bool = False,
     cand_single=None,
@@ -528,22 +486,15 @@ def trace_bounce(
             }
             return new_state, pack, stats
         return new_state, pack
-    if shadow_sort_bounds is not None:
-        wmin_s, winv_s = shadow_sort_bounds
-        shadow_clear = occlusion_query_sorted(
-            intersect, shadow_origin, to_light, light_ok,
-            dist + 4.0 * eps, target, wmin_s, winv_s, eps,
-        )
-    else:
-        shadow_hit = intersect(
-            shadow_origin, to_light, light_ok, t_max=dist + 4.0 * eps
-        )
-        shadow_clear = (
-            light_ok
-            & shadow_hit.valid
-            & (shadow_hit.t >= eps)
-            & (shadow_hit.tri == target)
-        )
+    shadow_hit = intersect(
+        shadow_origin, to_light, light_ok, t_max=dist + 4.0 * eps
+    )
+    shadow_clear = (
+        light_ok
+        & shadow_hit.valid
+        & (shadow_hit.t >= eps)
+        & (shadow_hit.tri == target)
+    )
     new_state = new_state._replace(
         radiance=new_state.radiance + jnp.where(shadow_clear[None], nee_contrib, 0.0)
     )
@@ -645,18 +596,13 @@ def render_sample(
             for a in range(3)
         )
         winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
-    # In the sorted pipeline the shadow query is deferred onto the shared
-    # sort below, which supersedes the round-1 standalone shadow sort
-    # (occlusion_query_sorted — kept for the unsorted path's API parity).
-    shadow_bounds = None
 
     def shade(b, st, coherent=False, cand_single=None):
         uniforms = bounce_uniforms(
             cfg, key, frame_index, b, st.pixel, full_height, full_width
         )
         return trace_bounce(
-            scene, cfg, intersect, b, st, uniforms,
-            shadow_sort_bounds=shadow_bounds, coherent=coherent,
+            scene, cfg, intersect, b, st, uniforms, coherent=coherent,
             defer_shadow=do_sort, cand_single=cand_single,
             with_stats=with_ray_count,
         )

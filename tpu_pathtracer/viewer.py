@@ -55,7 +55,9 @@ class ViewerServer:
     """
 
     def __init__(self, renderer, scene_name: str = "scene",
-                 host: str = "0.0.0.0", port: int = 8787):
+                 host: str = "127.0.0.1", port: int = 8787):
+        # loopback by default: the endpoints are unauthenticated; pass
+        # host="0.0.0.0" (CLI --serve-host) to expose them deliberately
         self.renderer = renderer
         self.scene_name = scene_name
         self.lock = threading.Lock()
@@ -123,10 +125,15 @@ class ViewerServer:
         self.start()
         try:
             i = 0
+            max_frames = self.renderer.cfg.max_frames
             while not self._stop.is_set() and (frames == 0 or i < frames):
+                if max_frames and self.renderer._frame_count >= max_frames:
+                    break  # step() would no-op: don't busy-spin; keep serving
                 with self.lock:
                     self.renderer.step()
                 i += 1
+            while frames == 0 and not self._stop.wait(0.25):
+                pass  # frame cap reached: stay up for viewers until stop()
         except KeyboardInterrupt:
             pass
         finally:
