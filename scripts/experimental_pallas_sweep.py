@@ -33,10 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.layout import BVHLayout
-from .intersect import HitShade
-from .pallas_traverse import _mt8
-from .traverse import safe_inverse
+from tpu_pathtracer.accel.layout import BVHLayout
+from tpu_pathtracer.ops.intersect import HitShade  # noqa: F401
+from tpu_pathtracer.ops.pallas_traverse import _mt8
+from tpu_pathtracer.ops.traverse import safe_inverse
 
 SWEEP_W = 16  # leaf-box rows tested per sweep step
 

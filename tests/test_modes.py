@@ -264,3 +264,26 @@ def test_tiled_noise_structure_matches_reference():
     jy = ((H - 1) - np.asarray(rows)) % nd
     np.testing.assert_array_equal(cj[0], cam_tile[jx + jy * nd][:, 0])
     np.testing.assert_array_equal(cj[1], cam_tile[jx + jy * nd][:, 1])
+
+
+def test_live_prefix_ladder_matches_full_width():
+    # The ladder (RenderConfig.live_ladder) runs each bounce on the shortest
+    # static prefix covering every live lane; per-lane math is width- and
+    # tile-independent, so the image matches full-width to the last ulp (XLA
+    # fuses fma chains differently at different static widths, so exact
+    # bitwise equality is not guaranteed — observed max delta ~5e-7).
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=6, intersector="bvh",
+        secondary_tile=256, live_ladder=0,
+    )
+    cfg_l = base.replace(live_ladder=3)
+    size = dict(width=128, height=96)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer("cornellbox", cfg=cfg_l, **size)
+    r1.run(2)
+    a, b = r0.image(), r1.image()
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+    # the overwhelming majority of pixels are exactly equal
+    assert (a == b).mean() > 0.9

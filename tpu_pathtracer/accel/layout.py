@@ -58,8 +58,16 @@ class BVHLayout(NamedTuple):
     nodes8: jnp.ndarray          # (M8, 8) float32
     meta4: jnp.ndarray           # (M8 + 8, 4) int32
     tris8: jnp.ndarray           # (T8, 24) float32
+    # Baldwin-Weber intersection rows, same row indexing as tris8:
+    # (T8, 16) f32 [n0.xyz d0 | n1.xyz d1 | n2.xyz d2 | leaf_id, pad3] — the
+    # hit test becomes three plane evaluations (t = -(n0.o+d0)/(n0.d),
+    # u = n1.p+d1, v = n2.p+d2 at p = o+t*d), ~20% fewer vector ops per
+    # tested row than Moller-Trumbore and no cross products in the hot loop.
+    tris8bw: jnp.ndarray         # (T8, 16) float32
+    prepassbw: jnp.ndarray       # (PREPASS_MAX, 16) f32, col 12 = row index
 
-    # leaf-box tables for the candidate-sweep kernels (ops/pallas_sweep.py):
+    # leaf-box tables for the EXPERIMENTAL candidate-sweep kernels
+    # (scripts/experimental_pallas_sweep.py; measured net-negative in prod):
     # one row per LEAF in DFS order — (L16, 8) f32 [bmin, bmax, pad2] (pad
     # rows inverted) + (L16, 4) i32 [first_tri, tri_count, dfs_node_id, 0].
     leafbox: jnp.ndarray         # (L16, 8) float32
@@ -214,10 +222,45 @@ def dfs_layout(
     meta4[m:, 0] = m          # sentinel (never followed)
     meta4[:m, 1] = meta[:]
     meta4[:, 2] = tri_start
-    # +16 pad rows: MT fetches up to 16 rows from an 8-aligned start
-    t8 = -(-(num_tris + 1) // 8) * 8 + 16
+    # +72 pad rows: MT fetches up to 64 rows from an 8-aligned start
+    t8 = -(-(num_tris + 1) // 8) * 8 + 72
     tris8 = np.zeros((t8, 24), np.float32)
     tris8[: num_tris + 1] = tris
+
+    # ---- Baldwin-Weber plane rows (same indexing as tris8) ----
+    def bw_rows(tri_rows: np.ndarray, leaf_col: np.ndarray) -> np.ndarray:
+        """(R, 24) MT rows -> (R, 16) BW rows [n0 d0 n1 d1 n2 d2 leaf pad3].
+
+        Degenerate rows (zero normal) produce all-zero planes: den == 0 is
+        the kernel's reject test, exactly like det == 0 in MT.
+        """
+        p0r = tri_rows[:, 0:3].astype(np.float64)
+        e1r = tri_rows[:, 3:6].astype(np.float64)
+        e2r = tri_rows[:, 6:9].astype(np.float64)
+        n = np.cross(e1r, e2r)
+        c1 = np.cross(e2r, n)
+        c2 = np.cross(n, e1r)
+        s1 = (c1 * e1r).sum(1, keepdims=True)
+        s2 = (c2 * e2r).sum(1, keepdims=True)
+        ok = (np.abs(s1) > 0) & (np.abs(s2) > 0)
+        n1 = np.where(ok, c1 / np.where(s1 == 0, 1, s1), 0.0)
+        n2 = np.where(ok, c2 / np.where(s2 == 0, 1, s2), 0.0)
+        n = np.where(ok, n, 0.0)
+        out = np.zeros((tri_rows.shape[0], 16), np.float32)
+        out[:, 0:3] = n
+        out[:, 3] = -(n * p0r).sum(1)
+        out[:, 4:7] = n1
+        out[:, 7] = -(n1 * p0r).sum(1)
+        out[:, 8:11] = n2
+        out[:, 11] = -(n2 * p0r).sum(1)
+        out[:, 12] = leaf_col
+        return out
+
+    tris8bw = bw_rows(tris8, tris8[:, 21])
+    tris8bw[num_tris:] = 0.0  # sentinel + pad rows can never hit (den == 0)
+    tris8bw[num_tris:, 12] = -1.0
+    prepassbw = bw_rows(prepass, prepass[:, 21])
+    prepassbw[by_area.size:] = 0.0
 
     # ---- leaf-box tables (candidate-sweep kernels) ----
     num_leaves = len(leaf_pos)
@@ -249,6 +292,8 @@ def dfs_layout(
         nodes8=jnp.asarray(nodes8),
         meta4=jnp.asarray(meta4),
         tris8=jnp.asarray(tris8),
+        tris8bw=jnp.asarray(tris8bw),
+        prepassbw=jnp.asarray(prepassbw),
         leafbox=jnp.asarray(leafbox),
         leafmeta=jnp.asarray(leafmeta),
         num_leaves=num_leaves,

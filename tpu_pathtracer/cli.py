@@ -47,6 +47,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise", choices=("prng", "tiled"), default="prng")
     p.add_argument("--no-quirks", action="store_true",
                    help="use conventional MIS instead of reference-exact estimator")
+    p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
+                                 "the scene with (NEE/MIS importance-sampled)")
+    p.add_argument("--env-strength", type=float, default=1.0)
+    p.add_argument("--env-rotation", type=float, default=0.0,
+                   help="azimuth rotation of the env map in radians")
     p.add_argument("-o", "--exr", help="write accumulated radiance EXR")
     p.add_argument("--png", help="write tonemapped/sRGB PNG")
     p.add_argument("--checkpoint", help="write render-state checkpoint (.npz)")

@@ -115,15 +115,16 @@ class RenderConfig:
     # "sort-based ray compaction").  One lax.sort with the whole ray state as
     # payload (~26 ms at 2M rays) buys back seconds of divergent traversal.
     sort_rays: bool = True
-    # Candidate-split traversal (ops/pallas_sweep.py): classify each bounce
-    # ray by how many leaf AABBs its primed segment crosses; <=1-candidate
-    # rays sort by that leaf and take a dense targeted-MT kernel, the rest
-    # walk the tree.  Results identical to the full walk.  Default OFF: on
-    # v5e the measured single fraction is only ~29% on real diffuse
-    # wavefronts and removing those lanes from the walk saves nothing (the
-    # multi-candidate lanes define the tile unions), so the extra sweep
-    # costs more than the split recovers (bench: 1637 -> 1752 ms/frame).
-    candidate_split: bool = False
+    # Live-prefix ladder: after each bounce sort (dead lanes last), run the
+    # whole per-bounce body (NEE resolve + traversal + shade) on the shortest
+    # static power-of-two prefix that still holds every live lane, picked by
+    # lax.switch on the live count.  The mean live fraction on the bench
+    # scene is ~35% by bounce 4, so the dense per-lane work (payload gather,
+    # shade math, occlusion walk) stops paying full-width cost for dead
+    # lanes.  Value = number of halvings compiled (3 -> widths N, N/2, N/4,
+    # N/8); 0 disables.  Results are bit-identical: per-lane math is
+    # tile-independent and dead lanes are never touched by a bounce.
+    live_ladder: int = 3
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
     # Progressive frames kept in flight before the host blocks: the analog of

@@ -39,3 +39,94 @@ def write_png(path: str, image: np.ndarray) -> None:
     """Write an (H, W, 3) array (values in [0, 1]) as an 8-bit RGB PNG."""
     with open(path, "wb") as fh:
         fh.write(png_bytes(image))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA, all filter types)
+    to an (H, W, 3) float32 array in [0, 1] (sRGB-decoded to linear).
+
+    Texture loading for map_Kd (the reference has no texture sampling at all;
+    this is the config-4 extension's asset path).  Dependency-free like the
+    writer above.
+    """
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    palette = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError(f"{path}: missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"{path}: only 8-bit non-interlaced PNGs supported "
+            f"(depth {bit_depth}, interlace {interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"{path}: unsupported color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for r in range(height):
+        ftype = raw[p]
+        line = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(np.int32)
+        p += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub, Average, Paeth need the left neighbor: scan per pixel
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                elif ftype == 4:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"{path}: bad filter {ftype}")
+                cur[i] = (line[i] + pred) & 0xFF
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError(f"{path}: paletted PNG without PLTE")
+        img = palette[img[..., 0]]
+    elif channels == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif channels == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    elif channels == 4:
+        img = img[..., :3]
+    srgb = img.astype(np.float32) / 255.0
+    # sRGB EOTF -> linear (textures are authored in sRGB)
+    return np.where(
+        srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
+    ).astype(np.float32)

@@ -1,0 +1,175 @@
+"""HDR environment light: lat-long map with alias-table importance sampling.
+
+A BASELINE config-4 extension — the reference has no environment light (its
+only emitters are area triangles, reference: renderer/Renderer.mm:393-448, and
+rays that miss the scene simply die, renderer/Shaders.metal:119-124).  The
+design follows the render pipeline's TPU rules:
+
+  * **Alias table, not CDF binary search**: sampling a texel is two O(1)
+    row gathers (slot -> threshold/alias) instead of a log2(K)-step
+    ``searchsorted`` whose 15+ dependent gathers at 2M lanes would dominate
+    a bounce.  Built host-side (numpy Vose) at attach time.
+  * **Nearest-texel radiance/pdf**: the sampler jitters uniformly inside the
+    chosen texel and the evaluator reads the same texel, so the Monte Carlo
+    pdf matches the sampled distribution exactly (no bilinear mismatch).
+  * Direction convention: y-up lat-long.  v in [0,1] -> theta in [0,pi]
+    from +y (v=0 = zenith), u -> phi = 2*pi*u - pi (+ rotation) around y:
+    dir = (sin(theta)cos(phi), cos(theta), sin(theta)sin(phi)).
+
+The solid-angle pdf uses the exact per-row texel solid angle
+domega(i) = (2*pi/Ew) * (cos(theta_lo) - cos(theta_hi)), so the estimator is
+unbiased for any map resolution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+PI = np.pi
+
+
+class EnvLight(NamedTuple):
+    """Device-resident environment light (shapes carry Eh, Ew statically)."""
+
+    radiance: jnp.ndarray   # (S, Eh, Ew) spectral radiance (strength folded in)
+    pdf_sa: jnp.ndarray     # (Eh, Ew) solid-angle pdf of sampling each texel
+    alias_p: jnp.ndarray    # (K,) alias-table acceptance threshold
+    alias_i: jnp.ndarray    # (K,) int32 alias slot
+    select_p: jnp.ndarray   # () probability NEE samples the env (vs area lights)
+    rotation: jnp.ndarray   # () radians added to phi
+
+
+def _vose_alias(p: np.ndarray):
+    """Standard Vose alias-table construction for a discrete pdf (K,)."""
+    k = p.size
+    scaled = p * k
+    prob = np.zeros(k, np.float32)
+    alias = np.zeros(k, np.int32)
+    small = [i for i in range(k) if scaled[i] < 1.0]
+    large = [i for i in range(k) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s = small.pop()
+        g = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = g
+        scaled[g] = (scaled[g] + scaled[s]) - 1.0
+        (small if scaled[g] < 1.0 else large).append(g)
+    for rest in (large, small):
+        for i in rest:
+            prob[i] = 1.0
+            alias[i] = i
+    return prob, alias
+
+
+def build_env(
+    image: np.ndarray,
+    strength: float = 1.0,
+    rotation: float = 0.0,
+    select_p: float | None = None,
+    area_light_power: float = 0.0,
+    samples: int = 3,
+) -> EnvLight:
+    """(Eh, Ew, 3) HDR image -> device EnvLight.
+
+    ``select_p`` defaults to the env's share of total emitted power
+    (clamped to [0.1, 0.9] when area lights exist) so NEE effort follows
+    energy; pass an explicit value to override.
+    """
+    from ..core import spectrum as spec
+
+    img = np.asarray(image, np.float32) * strength
+    eh, ew = img.shape[:2]
+    lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    theta_edges = np.linspace(0.0, PI, eh + 1)
+    # exact per-row texel solid angle
+    domega_row = (2.0 * PI / ew) * (
+        np.cos(theta_edges[:-1]) - np.cos(theta_edges[1:])
+    )
+    weight = np.maximum(lum, 0.0) * domega_row[:, None]
+    total = weight.sum()
+    if total <= 0.0:
+        # black/constant-zero map: uniform sampling keeps the pdf valid
+        weight = np.ones_like(weight) * domega_row[:, None]
+        total = weight.sum()
+    pdf_texel = (weight / total).astype(np.float32)          # sums to 1
+    pdf_sa = pdf_texel / np.maximum(domega_row[:, None], 1e-12)
+    prob, alias = _vose_alias(pdf_texel.reshape(-1).astype(np.float64))
+
+    env_power = float((np.maximum(lum, 0.0) * domega_row[:, None]).sum())
+    if select_p is None:
+        if area_light_power > 0.0:
+            select_p = float(
+                np.clip(env_power / (env_power + area_light_power), 0.1, 0.9)
+            )
+        else:
+            select_p = 1.0
+
+    rad = spec.from_rgb(
+        jnp.asarray(img.reshape(-1, 3)), samples
+    ).T.reshape(samples, eh, ew)
+    return EnvLight(
+        radiance=jnp.asarray(rad),
+        pdf_sa=jnp.asarray(pdf_sa),
+        alias_p=jnp.asarray(prob),
+        alias_i=jnp.asarray(alias),
+        select_p=jnp.float32(select_p),
+        rotation=jnp.float32(rotation),
+    )
+
+
+def _texel_dir(env: EnvLight, i, j, ju, jv):
+    """Jittered direction inside texel (i, j); ju/jv in [0,1)."""
+    eh, ew = env.pdf_sa.shape
+    v = (i.astype(jnp.float32) + jv) / eh
+    u = (j.astype(jnp.float32) + ju) / ew
+    theta = PI * v
+    phi = 2.0 * PI * u - PI + env.rotation
+    sin_t = jnp.sin(theta)
+    return jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)])
+
+
+def _read(env: EnvLight, idx, bins):
+    """Texel gathers: flat idx (N,) -> radiance (S|C, N), pdf_sa (N,)."""
+    eh, ew = env.pdf_sa.shape
+    s = env.radiance.shape[0]
+    rad = jnp.take(env.radiance.reshape(s, eh * ew), idx, axis=1)
+    if bins is not None:
+        out = jnp.zeros(bins.shape, jnp.float32)
+        for b in range(s):
+            out = jnp.where(bins == b, rad[b][None, :], out)
+        rad = out
+    pdf = jnp.take(env.pdf_sa.reshape(eh * ew), idx)
+    return rad, pdf
+
+
+def sample_env(env: EnvLight, u_alias, u_jit, bins=None):
+    """Importance-sample the map: u_alias (N,), u_jit (2, N) uniforms ->
+    (dir (3, N), pdf_sa (N,), radiance (S|C, N))."""
+    eh, ew = env.pdf_sa.shape
+    k = eh * ew
+    x = u_alias * k
+    slot = jnp.clip(x.astype(jnp.int32), 0, k - 1)
+    frac = x - slot.astype(jnp.float32)
+    take_alias = frac >= jnp.take(env.alias_p, slot)
+    idx = jnp.where(take_alias, jnp.take(env.alias_i, slot), slot)
+    i = idx // ew
+    j = idx % ew
+    d = _texel_dir(env, i, j, u_jit[0], u_jit[1])
+    rad, pdf = _read(env, idx, bins)
+    return d, pdf, rad
+
+
+def eval_env(env: EnvLight, d, bins=None):
+    """Radiance and sampling pdf toward direction d (3, N) (nearest texel)."""
+    eh, ew = env.pdf_sa.shape
+    phi = jnp.arctan2(d[2], d[0]) - env.rotation
+    u = (phi + PI) / (2.0 * PI)
+    u = u - jnp.floor(u)
+    v = jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / PI
+    j = jnp.clip((u * ew).astype(jnp.int32), 0, ew - 1)
+    i = jnp.clip((v * eh).astype(jnp.int32), 0, eh - 1)
+    return _read(env, i * ew + j, bins)

@@ -449,12 +449,99 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
     return best_t, best_u, best_v, best_i, best_orig
 
 
+def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
+          latch="argmin"):
+    """Slim block intersection: K triangle rows x TILE lanes -> (t, row).
+
+    Only (best_t, best_row) latch in-kernel; u/v/material resolve happens
+    outside via the row gather (resolve_window_payload), which removes ~1/3
+    of the per-tested-row vector ops vs the full :func:`_mt8` latch.
+
+    ``tritest``:
+    * ``"bw"`` — Baldwin-Weber precomputed plane rows (layout.tris8bw,
+      (K, 16)): t from one plane, u/v from two more at p = o + t*d.  No
+      cross products in the hot loop (~20% fewer ops than MT).
+    * ``"mt"`` — classic Moller-Trumbore on (K, 24) layout.tris8 rows.
+    """
+    ox, oy, oz = oxyz
+    dx, dy, dz = dxyz
+    best_t, best_i = best
+    if tritest == "bw":
+        n0x, n0y, n0z, d0 = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3], tb[:, 3:4]
+        n1x, n1y, n1z, d1 = tb[:, 4:5], tb[:, 5:6], tb[:, 6:7], tb[:, 7:8]
+        n2x, n2y, n2z, d2 = tb[:, 8:9], tb[:, 9:10], tb[:, 10:11], tb[:, 11:12]
+        den = n0x * dx + n0y * dy + n0z * dz
+        num = n0x * ox + n0y * oy + n0z * oz + d0
+        inv = jnp.where(den != 0.0, 1.0 / den, 0.0)
+        tt = -num * inv
+        px = ox + tt * dx
+        py = oy + tt * dy
+        pz = oz + tt * dz
+        u = n1x * px + n1y * py + n1z * pz + d1
+        v = n2x * px + n2y * py + n2z * pz + d2
+        ok = (
+            pred
+            & (den != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > t_min)
+        )
+    else:
+        p0x, p0y, p0z = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3]
+        e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
+        e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+        tx = ox - p0x
+        ty = oy - p0y
+        tz = oz - p0z
+        u = (tx * pvx + ty * pvy + tz * pvz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (
+            pred
+            & (det != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > t_min)
+        )
+    if latch == "rows":
+        for j in range(tb.shape[0]):
+            okj = ok[j, :] & (tt[j, :] < best_t)
+            best_t = jnp.where(okj, tt[j, :], best_t)
+            best_i = jnp.where(okj, row_ids[j, 0], best_i)
+        return best_t, best_i
+    big = jnp.float32(jnp.inf)
+    ttm = jnp.where(ok & (tt < best_t[None, :]), tt, big)   # (K, TILE)
+    tmin = jnp.min(ttm, axis=0)                             # (TILE,)
+    upd = tmin < best_t
+    k = tb.shape[0]
+    posf = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).astype(jnp.float32)
+    cand = jnp.where(ttm == tmin[None, :], jnp.broadcast_to(posf, ttm.shape), big)
+    pmin = jnp.min(cand, axis=0)                            # winning block row
+    win = cand == pmin[None, :]
+    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), ttm.shape)
+    best_t = jnp.where(upd, tmin, best_t)
+    best_i = jnp.where(
+        upd, jnp.sum(jnp.where(win, ridf, 0.0), axis=0), best_i
+    )
+    return best_t, best_i
+
+
 def _window_kernel(
     rays_ref,      # (8, TILE) f32: ox oy oz dx dy dz active t_max
     nodes_ref,     # (M8, 8) f32
     meta_ref,      # (M8+8, 4) i32 [miss, first*64+count, tri_start, 0]
-    tris_ref,      # (T8, 24) f32, col 21 = owning leaf node id
-    *rest,         # [pre_ref (P, 24) if n_prepass] + [out_ref (8, TILE)]
+    tris_ref,      # (T8, 16) f32 BW rows (col 12 = leaf id) or (T8, 24) MT
+    *rest,         # [pre_ref if n_prepass] + [out_ref (8, TILE)]
     num_nodes: int,
     num_tris: int,
     t_min: float,
@@ -463,8 +550,7 @@ def _window_kernel(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
-    mtgroups: int = 1,
-    gap_skip: bool = False,
+    tritest: str = "bw",
     mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
 ):
     if n_prepass:
@@ -487,21 +573,22 @@ def _window_kernel(
     sent = jnp.int32(num_nodes)
     cur0 = jnp.where(act, jnp.int32(0), sent)
     zeros = jnp.zeros((tile,), jnp.float32)
+    leaf_col = 12 if tritest == "bw" else 21
     best = (
         t_max,                                       # best_t (primed by cap)
-        zeros, zeros,                                # u, v
         jnp.full((tile,), float(num_tris), jnp.float32),  # row (sentinel)
-        zeros,                                       # orig
     )
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (mtblock, 1), 0)
 
-    # phase 0: big-triangle pre-pass (static 8-row blocks)
+    # phase 0: big-triangle pre-pass (static 8-row blocks); the pre-pass
+    # table carries the global row index in the leaf column
     pred_act = jnp.broadcast_to(act[None, :], (8, tile))
     for b in range(n_prepass // 8):
         tb = pre_ref[b * 8:(b + 1) * 8, :]
-        best = _mt8(tb, pred_act, dxyz, oxyz, t_min, best, tb[:, 21:22],
-                    latch=latch)
+        best = _hit8(tb, pred_act, dxyz, oxyz, t_min, best,
+                     tb[:, leaf_col:leaf_col + 1], tritest=tritest,
+                     latch=latch)
 
     # phase 1: window walk
     def cond(c):
@@ -547,66 +634,41 @@ def _window_kernel(
             tgt = jnp.sum(jnp.where(move, nxt8, 0), axis=0)
             cur = jnp.where(jnp.any(move, axis=0), tgt, cur)
 
-        # leaf MT over the triangle ranges of the *demanded* leaf rows only
-        # (leaves where some lane is actually stuck).  Two granularity levers
-        # against the SIMD-union disease (each demanded leaf costing a
-        # full-tile-width block op while serving ~20 lanes):
-        #   * ``mtgroups``: split the tile into G static lane sub-groups,
-        #     each marching only ITS demanded range at 1/G vector width —
-        #     Morton-sorted lanes give sub-groups much smaller leaf unions;
-        #   * ``gap_skip``: advance the row cursor directly to the next
-        #     demanded row instead of marching the contiguous [lo, hi) span
-        #     (skips undemanded leaves lying between demanded ones).
+        # leaf MT over the contiguous triangle range of the *demanded* leaf
+        # rows only (leaves where some lane is actually stuck) — the full
+        # window range tests ~3x more triangles than any lane needs.
+        # (Measured dead ends, r3: per-lane-sub-group MT at 1/G width — the
+        # sub-unions DON'T shrink for diffuse wavefronts, and Mosaic cannot
+        # re-merge lane vectors; cursor gap-skipping — the skip logic costs
+        # more than the rare intra-window gaps save.  See docs/ROADMAP.md.)
         mask = ids == cur[None, :]
+        demand8 = jnp.any(mask & isleaf8, axis=1, keepdims=True)  # (8, 1)
         first8 = mblk[:, 1:2] >> 6
-        big = jnp.int32(2 ** 30)
-        sub = tile // mtgroups
+        lo8 = jnp.where(demand8, first8, jnp.int32(2 ** 30))
+        hi8 = jnp.where(demand8, first8 + count8, jnp.int32(0))
+        t_lo = jnp.min(lo8)
+        t_hi = jnp.max(hi8)
+        a_lo = t_lo & ~jnp.int32(7)
+        nblocks = jnp.maximum(
+            jax.lax.div(t_hi - a_lo + mtblock - 1, jnp.int32(mtblock)),
+            jnp.int32(0),
+        )
+
+        def mt_cond(ic):
+            return ic[0] < nblocks
+
+        def mt_body(ic):
+            i, bst = ic
+            r0 = a_lo + i * mtblock
+            tb = tris_ref[pl.ds(r0, mtblock), :]
+            leafid = tb[:, leaf_col:leaf_col + 1].astype(jnp.int32)  # (B, 1)
+            pred = leafid == cur[None, :]
+            row_ids = (r0 + iota_b).astype(jnp.float32)
+            return i + 1, _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
+                                tritest=tritest, latch=latch)
+
         if not mt_off:
-            bparts = [[] for _ in range(5)]
-            for g in range(mtgroups):
-                sl = slice(g * sub, (g + 1) * sub)
-                cur_g = cur[sl] if mtgroups > 1 else cur
-                mask_g = (ids == cur_g[None, :]) if mtgroups > 1 else mask
-                oxyz_g = tuple(c[sl] for c in oxyz) if mtgroups > 1 else oxyz
-                dxyz_g = tuple(c[sl] for c in dxyz) if mtgroups > 1 else dxyz
-                demand_g = jnp.any(mask_g & isleaf8, axis=1, keepdims=True)
-                lo8 = jnp.where(demand_g, first8, big)
-                hi8 = jnp.where(demand_g, first8 + count8, jnp.int32(0))
-                t_lo = jnp.min(lo8) & ~jnp.int32(7)
-                t_hi = jnp.max(hi8)
-                best_g = tuple(b[sl] for b in best) if mtgroups > 1 else best
-
-                def mt_cond(ic):
-                    return ic[0] < t_hi  # noqa: B023
-
-                def mt_body(ic, cur_g=cur_g, oxyz_g=oxyz_g, dxyz_g=dxyz_g,
-                            lo8=lo8, hi8=hi8):
-                    c, bst = ic
-                    tb = tris_ref[pl.ds(c, mtblock), :]
-                    leafid = tb[:, 21:22].astype(jnp.int32)   # (B, 1)
-                    pred = leafid == cur_g[None, :]
-                    row_ids = (c + iota_b).astype(jnp.float32)
-                    bst = _mt8(tb, pred, dxyz_g, oxyz_g, t_min, bst, row_ids,
-                               latch=latch)
-                    if gap_skip:
-                        # smallest demanded row >= c + mtblock (a straddling
-                        # range clamps to exactly c + mtblock, so the march
-                        # stays contiguous inside a demanded run)
-                        nc = jnp.min(jnp.where(
-                            hi8 > c + mtblock,
-                            jnp.maximum(lo8, c + mtblock), big,
-                        )) & ~jnp.int32(7)
-                    else:
-                        nc = c + mtblock
-                    return nc, bst
-
-                _, best_g = jax.lax.while_loop(mt_cond, mt_body, (t_lo, best_g))
-                for k in range(5):
-                    bparts[k].append(best_g[k])
-            if mtgroups > 1:
-                best = tuple(jnp.concatenate(bparts[k]) for k in range(5))
-            else:
-                best = tuple(bparts[k][0] for k in range(5))
+            _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
 
         # advance lanes off their (tested) leaf rows
         onleaf = mask & isleaf8
@@ -614,14 +676,10 @@ def _window_kernel(
         cur = jnp.where(jnp.any(onleaf, axis=0), leafstep, cur)
         return cur, best
 
-    _, best = jax.lax.while_loop(cond, body, (cur0, best))
-    best_t, best_u, best_v, best_i, best_orig = best
-    out_ref[0, :] = best_t
-    out_ref[1, :] = best_u
-    out_ref[2, :] = best_v
-    out_ref[3, :] = best_i
-    out_ref[4, :] = best_orig
-    for k in range(5, 8):
+    best = jax.lax.while_loop(cond, body, (cur0, best))[1]
+    out_ref[0, :] = best[0]
+    out_ref[1, :] = best[1]
+    for k in range(2, 8):
         out_ref[k, :] = zeros
 
 
@@ -639,21 +697,20 @@ def intersect_bvh_window(
     window: int = WINDOW,
     mtblock: int = 8,
     latch: str = "argmin",
-    mtgroups: int = 1,
-    gap_skip: bool = False,
+    tritest: str = "bw",
     mt_off: bool = False,
     raw: bool = False,
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
-    ``raw`` returns the unresolved ((8, N) rows, t_max) pair instead.
+    ``raw`` returns the unresolved ((8, N) [t, row] rows, t_max) pair instead.
 
-    Same results as :func:`intersect_bvh_pallas`; the shading payload is
-    resolved outside the kernel with one XLA gather.
+    Same hits as :func:`intersect_bvh_pallas` (``tritest="bw"`` computes t
+    with the Baldwin-Weber plane form, so near-exact shared-edge ties may
+    pick the other coplanar triangle); u/v and the shading payload are
+    recomputed outside the kernel from the winning row's gather.
     """
     n = o.shape[1]
     pad = (-n) % tile
-    if tile % mtgroups:
-        raise ValueError(f"tile {tile} not divisible by mtgroups {mtgroups}")
     if active is None:
         act = jnp.ones((n,), jnp.float32)
     else:
@@ -680,8 +737,7 @@ def intersect_bvh_window(
         window=window,
         mtblock=mtblock,
         latch=latch,
-        mtgroups=mtgroups,
-        gap_skip=gap_skip,
+        tritest=tritest,
         mt_off=mt_off,
     )
     in_specs = [
@@ -690,10 +746,12 @@ def intersect_bvh_window(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [rays, lay.nodes8, lay.meta4, lay.tris8]
+    tris_tab = lay.tris8bw if tritest == "bw" else lay.tris8
+    pre_tab = lay.prepassbw if tritest == "bw" else lay.prepass
+    inputs = [rays, lay.nodes8, lay.meta4, tris_tab]
     if prepass:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        inputs.append(lay.prepass[:prepass])
+        inputs.append(pre_tab[:prepass])
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -704,30 +762,51 @@ def intersect_bvh_window(
 
     if raw:
         return out[:, :n], t_max_arr
-    return resolve_window_payload(lay, out[:, :n], t_max_arr, resolve=resolve)
+    return resolve_window_payload(lay, out[:, :n], t_max_arr, o, d,
+                                  resolve=resolve)
 
 
 def resolve_window_payload(
-    lay: BVHLayout, out: jnp.ndarray, t_max_arr, resolve: bool = True
+    lay: BVHLayout, out: jnp.ndarray, t_max_arr, o, d, resolve: bool = True
 ) -> HitShade:
-    """Raw (>=5, N) kernel rows [t, u, v, row, orig, ...] -> HitShade.
+    """Raw kernel rows [t, row, ...] -> HitShade.
 
-    Shading payload: ONE XLA row gather + fused elementwise (identical
-    arithmetic to the v1 kernel's in-kernel phase 2).
+    The kernel latches only (best_t, best_row) — ~1/3 fewer vector ops per
+    tested triangle row than carrying u/v/orig through every latch.  Here
+    ONE XLA row gather fetches the winning triangle and u/v are recomputed
+    per lane (identical Moller-Trumbore arithmetic to the v1 kernel; the
+    sentinel row is all zeros -> det == 0 -> u = v = 0 on misses).
     """
     n = out.shape[1]
     t = jnp.where(out[0] < t_max_arr, out[0], jnp.inf)
-    u, v = out[1], out[2]
+    rows = jnp.take(lay.tris, out[1].astype(jnp.int32), axis=0)  # (N, 24)
+    e1 = (rows[:, 3], rows[:, 4], rows[:, 5])
+    e2 = (rows[:, 6], rows[:, 7], rows[:, 8])
+    pvx = d[1] * e2[2] - d[2] * e2[1]
+    pvy = d[2] * e2[0] - d[0] * e2[2]
+    pvz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+    inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    tx = o[0] - rows[:, 0]
+    ty = o[1] - rows[:, 1]
+    tz = o[2] - rows[:, 2]
+    u = (tx * pvx + ty * pvy + tz * pvz) * inv
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv
+    hit_ok = jnp.isfinite(t)
+    u = jnp.where(hit_ok, jnp.clip(u, 0.0, 1.0), 0.0)
+    v = jnp.where(hit_ok, jnp.clip(v, 0.0, 1.0), 0.0)
     if not resolve:
         return HitShade(
             t=t, u=u, v=v,
-            tri=out[4].astype(jnp.int32),
+            tri=rows[:, 9].astype(jnp.int32),
             mat=jnp.zeros((n,), jnp.int32),
             light=jnp.full((n,), -1, jnp.int32),
             pos=jnp.zeros((3, n), jnp.float32),
             normal=jnp.zeros((3, n), jnp.float32),
         )
-    rows = jnp.take(lay.tris, out[3].astype(jnp.int32), axis=0)  # (N, 24)
     w0 = 1.0 - u - v
     px = rows[:, 0] + u * rows[:, 3] + v * rows[:, 6]
     py = rows[:, 1] + u * rows[:, 4] + v * rows[:, 7]
@@ -772,7 +851,7 @@ def make_pallas_intersector(
       resolve, big tiles.
     """
 
-    def fn(o, d, active, t_max=None, coherent=False, cand_single=None):
+    def fn(o, d, active, t_max=None, coherent=False):
         if t_max is not None:
             # capped occlusion-style query (shadow rays): v1 kernel skips the
             # payload resolve and the cap prunes subtrees beyond the light
@@ -786,26 +865,6 @@ def make_pallas_intersector(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
                     prepass=prepass, chain=chain,
                 )
-            if cand_single is not None:
-                # candidate split (see ops/pallas_sweep.py): lanes whose
-                # primed segment crosses <= 1 leaf box — the sorted majority —
-                # take the dense sweep-MT kernel; the rest walk the tree
-                from .pallas_sweep import intersect_sweep1
-
-                single = active & cand_single
-                multi = active & jnp.logical_not(cand_single)
-                raw_a, tmax_a = intersect_sweep1(
-                    o, d, lay, active=single, tile=secondary_tile,
-                    t_min=t_min, prepass=prepass,
-                )
-                raw_b, _ = intersect_bvh_window(
-                    o, d, lay, t_min=t_min, active=multi, tile=secondary_tile,
-                    prepass=prepass, chain=secondary_chain,
-                    window=secondary_window, mtblock=secondary_mtblock,
-                    raw=True,
-                )
-                raw = jnp.where(cand_single[None, :], raw_a, raw_b)
-                return resolve_window_payload(lay, raw, tmax_a)
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
                 prepass=prepass, chain=secondary_chain,
@@ -815,13 +874,4 @@ def make_pallas_intersector(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
 
-    def _sweep_count(o, d, active):
-        from .pallas_sweep import sweep_count
-
-        return sweep_count(
-            o, d, lay, active=active, tile=secondary_tile,
-            t_min=t_min, prepass=prepass,
-        )
-
-    fn.sweep_count = _sweep_count
     return fn

@@ -120,8 +120,8 @@ def intersect_bvh(
 def make_bvh_intersector(lay: BVHLayout, scene, t_min: float = 0.0):
     from .intersect import shade_from_scene
 
-    def fn(o, d, active, t_max=None, coherent=False, cand_single=None):
-        del t_max, coherent, cand_single  # performance hints; walk is correct
+    def fn(o, d, active, t_max=None, coherent=False):
+        del t_max, coherent  # performance hints; walk is correct
         hit = intersect_bvh(o, d, lay, t_min=t_min, active=active)
         return shade_from_scene(scene, hit)
 

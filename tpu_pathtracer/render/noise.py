@@ -33,6 +33,7 @@ from ..ops import rng as rng_ops
 
 _CAMERA_SALT = 0x5CA1AB1E
 _HERO_SALT = 0x4E20
+_ENV_SALT = 0xE57
 
 
 def hero_bins(cfg: RenderConfig, key, frame, pids) -> jnp.ndarray:
@@ -96,12 +97,15 @@ def camera_jitter(
 
 def bounce_uniforms(
     cfg: RenderConfig, key, frame, bounce, pids,
-    full_height: int, full_width: int,
+    full_height: int, full_width: int, with_env: bool = False,
 ) -> dict:
     """Per-bounce uniforms for one wavefront of N rays.
 
     Keys: ``light_select`` (N,), ``light_bary`` (2, N), ``lobe`` (N,),
-    ``bounce_dir`` (2, N) — component-major like everything else.
+    ``bounce_dir`` (2, N) — component-major like everything else.  With
+    ``with_env`` (scene carries an environment light — a framework extension,
+    so TILED parity mode also draws these from the counter hash):
+    ``env_select`` (N,), ``env_alias`` (N,), ``env_jit`` (2, N).
     """
     if cfg.noise_mode == NoiseMode.TILED:
         rows = (pids // full_width).astype(jnp.int32)
@@ -110,16 +114,26 @@ def bounce_uniforms(
             cfg, _tile(cfg, key, bounce), frame, bounce, rows, cols, full_height
         )
         sx, sy, sz, sw = smp[:, 0], smp[:, 1], smp[:, 2], smp[:, 3]
-        return {
+        out = {
             "light_select": sz,                           # noiseSample.z
             "light_bary": jnp.stack([sw, sx], axis=0),    # noiseSample.wx
             "lobe": sy,                                   # noiseSample.y
             "bounce_dir": jnp.stack([sz, sw], axis=0),    # noiseSample.zw
         }
-    u = rng_ops.uniforms(pids, frame, bounce, key_salt(key), 6)
-    return {
+        if with_env:
+            ue = rng_ops.uniforms(
+                pids, frame, bounce, key_salt(key) ^ jnp.uint32(_ENV_SALT), 4
+            )
+            out.update(env_select=ue[0], env_alias=ue[1], env_jit=ue[2:4])
+        return out
+    n = 10 if with_env else 6
+    u = rng_ops.uniforms(pids, frame, bounce, key_salt(key), n)
+    out = {
         "light_select": u[0],
         "light_bary": u[1:3],
         "lobe": u[3],
         "bounce_dir": u[4:6],
     }
+    if with_env:
+        out.update(env_select=u[6], env_alias=u[7], env_jit=u[8:10])
+    return out

@@ -39,7 +39,10 @@ def _probe(scene: Scene, cfg: RenderConfig, height: int, width: int, key):
     intersect = make_brute_intersector(scene)
     total = jnp.zeros((), jnp.float32)
     for b in range(cfg.max_path_length):  # unrolled: python loop, static depth
-        uniforms = bounce_uniforms(cfg, key, frame, b, pids, height, width)
+        uniforms = bounce_uniforms(
+            cfg, key, frame, b, pids, height, width,
+            with_env=scene.env is not None,
+        )
         state, stats = trace_bounce(
             scene, cfg, intersect, jnp.int32(b), state, uniforms, with_stats=True
         )

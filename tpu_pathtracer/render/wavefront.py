@@ -124,20 +124,14 @@ def _morton5(q: jnp.ndarray) -> jnp.ndarray:
     return q
 
 
-def ray_sort_key(state: PathState, wmin, winv, cand=None) -> jnp.ndarray:
+def ray_sort_key(state: PathState, wmin, winv) -> jnp.ndarray:
     """Wavefront sort key: (dead?, coarse origin cell, direction, fine cell).
 
     Dead lanes sort last (whole traversal tiles of them exit in one step —
     the compaction half); live lanes group by an 8^3 spatial cell, then by a
     16x16 octahedral direction bin, then by the finer 32^3 Morton bits — the
     layout that measured fastest for diffuse-bounce wavefronts on v5e.
-
-    ``cand``: optional (count, first_leaf) from the candidate sweep
-    (ops/pallas_sweep.py).  Lanes with count <= 1 get bit 29 clear and sort
-    by their candidate LEAF instead of the spatial cell, which makes their
-    targeted MT near-dense; multi-candidate lanes keep the morton key under
-    a set bit 29.  Bit 30 stays the dead bit (sort_wavefront recovers
-    ``alive`` and the single/multi mode from the sorted key).
+    Bit 30 is the dead bit (sort_wavefront recovers ``alive`` from it).
     """
     d = state.direction
     o = state.origin
@@ -160,15 +154,7 @@ def ray_sort_key(state: PathState, wmin, winv, cand=None) -> jnp.ndarray:
     coarse = mort >> 6     # top 9 bits: 8^3 cell
     fine = mort & 63       # bottom 6 bits
     dead = jnp.logical_not(state.alive).astype(jnp.int32)
-    key = (dead << 30) | (coarse << 20) | (octa << 12) | fine
-    if cand is None:
-        return key
-    count, first = cand
-    multi = (count >= 2).astype(jnp.int32)
-    single_key = (jnp.minimum(first, 2 ** 13 - 1) << 14) | (mort & 0x3FFF)
-    return (dead << 30) | (multi << 29) | jnp.where(
-        multi == 1, (coarse << 20) | (octa << 12) | fine, single_key
-    )
+    return (dead << 30) | (coarse << 20) | (octa << 12) | fine
 
 
 def _pack_bins(bins) -> list:
@@ -198,20 +184,17 @@ def _unpack_bins(planes, like):
     return jnp.stack(rows)
 
 
-def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
-                   cand=None):
+def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
     (key + pixel id as tiebreak + every state plane as payload).
 
     The sort NETWORK dominates the cost (~8-15 ms for 2M lanes on v5e,
     nearly independent of payload count — but the TPU lowering's COMPILE
     time is super-linear in operand count), so the deferred shadow ``pack``
-    rides along as extra payload planes instead of being sorted separately,
-    and the candidate-split classification travels inside the key bits.
-    Returns ``state``, or ``(state, pack, single_mask)`` when a pack is
-    given (``single_mask`` is None unless ``cand`` was supplied).
+    rides along as extra payload planes instead of being sorted separately.
+    Returns ``state``, or ``(state, pack)`` when a pack is given.
     """
-    key = ray_sort_key(state, wmin, winv, cand=cand)
+    key = ray_sort_key(state, wmin, winv)
     samples = state.throughput.shape[0]
     bin_planes = _pack_bins(state.bins)
     nb = len(bin_planes)
@@ -248,7 +231,8 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
     flags = (
         jnp.where(pack.ok, jnp.uint32(1), jnp.uint32(0))
         | (state.prev_diffuse.astype(jnp.uint32) << 1)
-        | (pack.target.astype(jnp.uint32) << 2)
+        # target + 1 so the env sentinel (-1) packs as 0 in the uint32 plane
+        | ((pack.target + 1).astype(jnp.uint32) << 2)
     )
     planes = [
         state.origin[0], state.origin[1], state.origin[2],
@@ -283,19 +267,16 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
     new_pack = ShadowPack(
         to_light=jnp.stack(q[0:3]),
         cap=q[3],
-        target=(fl >> 2).astype(jnp.int32),
+        target=(fl >> 2).astype(jnp.int32) - 1,
         contrib=jnp.stack(q[4:4 + samples]),
         ok=(fl & jnp.uint32(1)) == 1,
     )
-    single = None
-    if cand is not None:
-        single = new_state.alive & (((skey >> 29) & 1) == 0)
-    return new_state, new_pack, single
+    return new_state, new_pack
 
 
 def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
-    def fn(o, d, active, t_max=None, coherent=False, cand_single=None):
-        del active, t_max, coherent, cand_single  # dense backend: all lanes
+    def fn(o, d, active, t_max=None, coherent=False):
+        del active, t_max, coherent  # dense backend: all lanes
         hit = intersect_brute(o, d, scene.p0, scene.p1, scene.p2, t_min=t_min)
         return shade_from_scene(scene, hit)
 
@@ -338,7 +319,6 @@ def trace_bounce(
     with_stats: bool = False,
     coherent: bool = False,
     defer_shadow: bool = False,
-    cand_single=None,
 ):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
@@ -353,10 +333,7 @@ def trace_bounce(
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
 
-    hit = intersect(
-        state.origin, state.direction, state.alive,
-        coherent=coherent, cand_single=cand_single,
-    )
+    hit = intersect(state.origin, state.direction, state.alive, coherent=coherent)
     # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
     # (reference: renderer/Shaders.metal:122-126 — note the nearest hit is NOT
     # skipped in favor of the next one; the whole path dies).
@@ -367,6 +344,15 @@ def trace_bounce(
     # material table: tiny -> gather-free compare/select chain; spectral
     # channels read only the lane's hero bins when hero sampling is on
     m_diffuse = select_spectrum(scene.mat_diffuse, mat, state.bins)  # (C|S, N)
+    if scene.textures is not None:
+        # map_Kd modulation at the interpolated texcoords (config-4 extension;
+        # the reference drops texcoords, renderer/Renderer.mm:365-369)
+        from ..models.texture import diffuse_modulation
+
+        m_diffuse = m_diffuse * diffuse_modulation(
+            scene, tri, hit.u, hit.v, mat, state.bins,
+            scene.mat_diffuse.shape[0],
+        )
     m_emissive = select_spectrum(scene.mat_emissive, mat, state.bins)
     m_ior = select_cols(scene.mat_ior, mat)
     m_type = select_cols(scene.mat_type, mat)
@@ -397,25 +383,52 @@ def trace_bounce(
     light_pdf = jnp.where(
         dir_ok, li_pdf * (dist * dist) / (li_area * l_dot_d), 0.0
     )
+    target = select_cols(scene.light_tri, li).astype(jnp.int32)
+    if scene.env is not None:
+        # Unified NEE over {area lights, environment} (framework extension;
+        # the reference has neither env nor any analog): each lane samples
+        # the env with probability select_p, and the branch pdfs are scaled
+        # by their selection probability so one MIS weight covers both.
+        from ..models.envlight import sample_env
+
+        sel_p = scene.env.select_p
+        use_env = uniforms["env_select"] < sel_p
+        e_dir, e_pdf, e_rad = sample_env(
+            scene.env, uniforms["env_alias"], uniforms["env_jit"], state.bins
+        )
+        nee_dir = where3(use_env, e_dir, to_light)
+        light_pdf = jnp.where(
+            use_env, e_pdf * sel_p, light_pdf * (1.0 - sel_p)
+        )
+        nee_emit = jnp.where(
+            use_env[None, :], e_rad,
+            select_spectrum(scene.light_emissive, li, state.bins),
+        )
+        not_self = use_env | (target != tri)
+        # env shadow rays are unbounded: any scene hit occludes
+        shadow_cap = jnp.where(use_env, jnp.float32(1e30), dist + 4.0 * eps)
+        # target -1 marks "visible iff nothing hit" (resolve_shadow)
+        target = jnp.where(use_env, jnp.int32(-1), target)
+    else:
+        nee_dir = to_light
+        nee_emit = select_spectrum(scene.light_emissive, li, state.bins)
+        not_self = target != tri
+        shadow_cap = dist + 4.0 * eps
     nee_bsdf, nee_mpdf = bsdf_lib.eval_material(
-        m_type, m_ior, w_i, to_light, hn, lobe_u, aeps
+        m_type, m_ior, w_i, nee_dir, hn, lobe_u, aeps
     )
     nee_weight = balance_heuristic(light_pdf, nee_mpdf)
     light_ok = (
         valid
         & (light_pdf > 0.0)
-        & (select_cols(scene.light_tri, li).astype(jnp.int32) != tri)
+        & not_self
         & (bounce + 1 < cfg.max_path_length)
     )
     nee_scale = jnp.where(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
-    nee_contrib = (
-        select_spectrum(scene.light_emissive, li, state.bins)
-        * m_diffuse * state.throughput * nee_scale[None]
-    )
+    nee_contrib = nee_emit * m_diffuse * state.throughput * nee_scale[None]
     shadow_origin = hp + hn * eps
-    target = select_cols(scene.light_tri, li).astype(jnp.int32)
 
     # ---- BSDF-arm MIS when the path hits an emitter ----
     # (reference: renderer/Shaders.metal:180-197)
@@ -440,6 +453,19 @@ def trace_bounce(
     emit_contrib = (
         m_emissive * state.throughput * jnp.where(is_light, emit_factor, 0.0)[None]
     )
+    if scene.env is not None:
+        # BSDF-arm env radiance: a live lane whose ray escapes the scene sees
+        # the env, MIS-weighted against the NEE env arm (conventional weight —
+        # the reference's *pdf emitter quirk applies only to its area lights)
+        from ..models.envlight import eval_env
+
+        miss_env = state.alive & jnp.logical_not(hit.valid)
+        env_rad, env_pdf = eval_env(scene.env, state.direction, state.bins)
+        env_lpdf = state.prev_diffuse * scene.env.select_p * env_pdf
+        env_w = balance_heuristic(state.pdf, env_lpdf)
+        emit_contrib = emit_contrib + (
+            env_rad * state.throughput * jnp.where(miss_env, env_w, 0.0)[None]
+        )
 
     # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
     w_o, nb_bsdf, nb_pdf, nb_ior = bsdf_lib.sample_bounce(
@@ -470,8 +496,8 @@ def trace_bounce(
     # range cap just past the sampled light point: pure traversal cull,
     # cannot change which hit is nearest within the range
     pack = ShadowPack(
-        to_light=to_light,
-        cap=dist + 4.0 * eps,
+        to_light=nee_dir,
+        cap=shadow_cap,
         target=target,
         contrib=nee_contrib,
         ok=light_ok,
@@ -486,14 +512,11 @@ def trace_bounce(
             }
             return new_state, pack, stats
         return new_state, pack
-    shadow_hit = intersect(
-        shadow_origin, to_light, light_ok, t_max=dist + 4.0 * eps
-    )
-    shadow_clear = (
-        light_ok
-        & shadow_hit.valid
-        & (shadow_hit.t >= eps)
-        & (shadow_hit.tri == target)
+    shadow_hit = intersect(shadow_origin, nee_dir, light_ok, t_max=shadow_cap)
+    shadow_clear = light_ok & jnp.where(
+        target >= 0,
+        shadow_hit.valid & (shadow_hit.t >= eps) & (shadow_hit.tri == target),
+        jnp.logical_not(shadow_hit.valid),  # env sample: clear iff unoccluded
     )
     new_state = new_state._replace(
         radiance=new_state.radiance + jnp.where(shadow_clear[None], nee_contrib, 0.0)
@@ -516,11 +539,11 @@ def resolve_shadow(
     origin is the lane's current path origin (same hit point).  Mirrors
     lightSamplingHandler (reference: renderer/Shaders.metal:214-231)."""
     hit = intersect(state.origin, pack.to_light, pack.ok, t_max=pack.cap)
-    clear = (
-        pack.ok
-        & hit.valid
-        & (hit.t >= eps)
-        & (hit.tri == pack.target.astype(jnp.int32))
+    target = pack.target.astype(jnp.int32)
+    clear = pack.ok & jnp.where(
+        target >= 0,
+        hit.valid & (hit.t >= eps) & (hit.tri == target),
+        jnp.logical_not(hit.valid),  # env sample (target -1): unoccluded
     )
     return state._replace(
         radiance=state.radiance + jnp.where(clear[None], pack.contrib, 0.0)
@@ -597,14 +620,14 @@ def render_sample(
         )
         winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
 
-    def shade(b, st, coherent=False, cand_single=None):
+    def shade(b, st, coherent=False):
         uniforms = bounce_uniforms(
-            cfg, key, frame_index, b, st.pixel, full_height, full_width
+            cfg, key, frame_index, b, st.pixel, full_height, full_width,
+            with_env=scene.env is not None,
         )
         return trace_bounce(
             scene, cfg, intersect, b, st, uniforms, coherent=coherent,
-            defer_shadow=do_sort, cand_single=cand_single,
-            with_stats=with_ray_count,
+            defer_shadow=do_sort, with_stats=with_ray_count,
         )
 
     def _nrays(stats):
@@ -619,19 +642,61 @@ def render_sample(
         out0 = shade(jnp.int32(0), state, coherent=True)
         state, pack = out0[0], out0[1]
         nrays = _nrays(out0[2]) if with_ray_count else jnp.float32(0)
-        split = cfg.candidate_split and hasattr(intersect, "sweep_count")
+
+        def stage(b, st, pk):
+            """resolve previous NEE pack + shade one bounce (any lane width)."""
+            st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
+            out = shade(b, st)
+            nr = _nrays(out[2]) if with_ray_count else jnp.float32(0)
+            return out[0], out[1], nr
+
+        n_lanes = state.alive.shape[0]
+        # Live-prefix ladder sizes: N, N/2, ... (see RenderConfig.live_ladder).
+        # Every size stays >= one traversal tile so the kernels keep their
+        # tuned shape; sizes must halve exactly (odd N disables further cuts).
+        sizes = [n_lanes]
+        for _ in range(cfg.live_ladder):
+            s = sizes[-1] // 2
+            if sizes[-1] % 2 or s < 4 * cfg.secondary_tile:
+                break
+            sizes.append(s)
 
         def body(b, carry):
             st, pk, cnt = carry
-            cand = (
-                intersect.sweep_count(st.origin, st.direction, st.alive)
-                if split else None
+            st, pk = sort_wavefront(st, wmin, winv, pk)
+            if len(sizes) == 1:
+                nst, npk, nr = stage(b, st, pk)
+                return nst, npk, cnt + nr
+            # after the sort every live lane sits in the prefix; pick the
+            # shortest compiled prefix that covers them all
+            live = jnp.sum(st.alive.astype(jnp.int32))
+            idx = jnp.int32(0)
+            for s in sizes[1:]:
+                idx = idx + (live <= s).astype(jnp.int32)
+
+            def make_branch(s):
+                def br(st, pk):
+                    cut = lambda x: jax.lax.slice_in_dim(x, 0, s, axis=-1)
+                    nst, npk, nr = stage(
+                        b, jax.tree.map(cut, st), jax.tree.map(cut, pk)
+                    )
+                    # dead suffix lanes are untouched by a bounce (all their
+                    # updates are alive-masked), so splicing the prefix back
+                    # is exact
+                    put = lambda full, pre: jax.lax.dynamic_update_slice_in_dim(
+                        full, pre, 0, axis=-1
+                    )
+                    return (
+                        jax.tree.map(put, st, nst),
+                        jax.tree.map(put, pk, npk),
+                        nr,
+                    )
+                return br
+
+            nst, npk, nr = jax.lax.switch(
+                idx, [make_branch(s) for s in sizes], st, pk
             )
-            st, pk, single = sort_wavefront(st, wmin, winv, pk, cand=cand)
-            st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
-            out = shade(b, st, cand_single=single)
-            cnt = cnt + _nrays(out[2]) if with_ray_count else cnt
-            return out[0], out[1], cnt
+            return nst, npk, cnt + nr
 
         state, pack, nrays = jax.lax.fori_loop(
             1, cfg.max_path_length, body, (state, pack, nrays)
@@ -666,11 +731,17 @@ def render_sample(
         )
         img = flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
     elif do_sort:
-        # lanes are in sorted order: scatter radiance back by pixel id
+        # lanes are in sorted order: one more lax.sort keyed by pixel id
+        # restores raster order (~6 ms at 2M lanes vs ~86 ms for the
+        # equivalent lane scatter on v5e — lane scatters run far below
+        # HBM roofline, the sort network does not)
         local = (state.pixel - jnp.uint32(row0 * full_width)).astype(jnp.int32)
-        flat = jnp.zeros(
-            (cfg.spectrum_samples, height * width), jnp.float32
-        ).at[:, local].set(state.radiance)
+        planes = jax.lax.sort(
+            (local,) + tuple(state.radiance[s]
+                             for s in range(cfg.spectrum_samples)),
+            num_keys=1,
+        )
+        flat = jnp.stack(planes[1:])
         img = flat.reshape(cfg.spectrum_samples, height, width).transpose(1, 2, 0)
     else:
         img = image_from_flat(state.radiance, order)  # (H, W, S)

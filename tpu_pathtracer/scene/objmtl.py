@@ -35,6 +35,9 @@ class MtlRecord:
     kd: tuple = (1.0, 1.0, 1.0)
     ka: tuple = (0.0, 0.0, 0.0)  # emission (reference Ka hack)
     ks: tuple = (1.0, 0.0, 0.0)  # (roughness, metalness, +-ior) hack
+    map_kd: str | None = None    # diffuse texture path (config-4 extension;
+                                 # the reference discards texcoords entirely,
+                                 # renderer/Renderer.mm:365-369)
 
 
 @dataclasses.dataclass
@@ -44,12 +47,14 @@ class ObjMesh:
     triangles: np.ndarray       # (T, 3) uint32 indices into unified vertices
     material_ids: np.ndarray    # (T,) int32 per-triangle material index
     materials: list             # list[MtlRecord], in first-use order
+    texcoords: np.ndarray | None = None  # (V, 2) float32 per unified vertex
 
 
 def parse_mtl(path: str) -> dict:
     """Parse an MTL file into {name: MtlRecord}."""
     records: dict[str, MtlRecord] = {}
     current: MtlRecord | None = None
+    base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "r", errors="replace") as fh:
         for line in fh:
             parts = line.split()
@@ -63,12 +68,16 @@ def parse_mtl(path: str) -> dict:
                 vals = tuple(float(v) for v in parts[1:4])
                 if len(vals) == 3:
                     setattr(current, key.lower(), vals)
+            elif current is not None and key == "map_Kd":
+                # last token is the filename (options like -o are ignored)
+                current.map_kd = os.path.join(base_dir, parts[-1])
     return records
 
 
 def load_obj(path: str) -> ObjMesh:
     positions_raw: list[tuple] = []
     normals_raw: list[tuple] = []
+    texcoords_raw: list[tuple] = []
     mtl_records: dict[str, MtlRecord] = {}
 
     materials: list[MtlRecord] = []
@@ -78,6 +87,7 @@ def load_obj(path: str) -> ObjMesh:
     vertex_map: dict[tuple, int] = {}
     unified_pos: list[tuple] = []
     unified_nrm: list[int] = []  # normal raw index per unified vertex (-1 if none)
+    unified_uv: list[int] = []   # texcoord raw index per unified vertex (-1 if none)
     tri_indices: list[tuple] = []
     tri_materials: list[int] = []
 
@@ -90,14 +100,15 @@ def load_obj(path: str) -> ObjMesh:
             materials.append(rec)
         return material_index[name]
 
-    def unify(v_idx: int, n_idx: int) -> int:
-        key = (v_idx, n_idx)
+    def unify(v_idx: int, n_idx: int, t_idx: int) -> int:
+        key = (v_idx, n_idx, t_idx)
         out = vertex_map.get(key)
         if out is None:
             out = len(unified_pos)
             vertex_map[key] = out
             unified_pos.append(positions_raw[v_idx])
             unified_nrm.append(n_idx)
+            unified_uv.append(t_idx)
         return out
 
     with open(path, "r", errors="replace") as fh:
@@ -112,6 +123,10 @@ def load_obj(path: str) -> ObjMesh:
                 )
             elif key == "vn":
                 normals_raw.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif key == "vt":
+                texcoords_raw.append(
+                    (float(parts[1]), float(parts[2]) if len(parts) > 2 else 0.0)
+                )
             elif key == "mtllib":
                 mtl_path = os.path.join(base_dir, " ".join(parts[1:]))
                 if os.path.exists(mtl_path):
@@ -128,7 +143,13 @@ def load_obj(path: str) -> ObjMesh:
                     if len(fields) >= 3 and fields[2]:
                         n_idx = int(fields[2])
                         n_idx = n_idx - 1 if n_idx > 0 else len(normals_raw) + n_idx
-                    corners.append(unify(v_idx, n_idx))
+                    t_idx = -1
+                    if len(fields) >= 2 and fields[1]:
+                        t_idx = int(fields[1])
+                        t_idx = (
+                            t_idx - 1 if t_idx > 0 else len(texcoords_raw) + t_idx
+                        )
+                    corners.append(unify(v_idx, n_idx, t_idx))
                 if current_material < 0:
                     current_material = get_material("")
                 for i in range(1, len(corners) - 1):  # fan triangulation
@@ -161,10 +182,18 @@ def load_obj(path: str) -> ObjMesh:
         if normals_raw:
             normals[have] = nrm_arr[idx[have]]
 
+    texcoords = None
+    if texcoords_raw and any(t >= 0 for t in unified_uv):
+        uv_arr = np.asarray(texcoords_raw, np.float32)
+        idx = np.asarray([max(t, 0) for t in unified_uv], np.int64)
+        texcoords = uv_arr[idx]
+        texcoords[np.asarray([t < 0 for t in unified_uv])] = 0.0
+
     return ObjMesh(
         positions=positions,
         normals=normals,
         triangles=triangles,
         material_ids=material_ids,
         materials=materials,
+        texcoords=texcoords,
     )

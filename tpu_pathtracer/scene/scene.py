@@ -48,6 +48,17 @@ class Scene(NamedTuple):
     light_pdf: jnp.ndarray       # (L+1,)
     light_cdf: jnp.ndarray       # (L+1,) exclusive prefix; sentinel = total
     light_tri: jnp.ndarray       # (L+1,) uint32 triangle index of each light
+    # --- framework extensions (no reference equivalent) ---
+    # HDR environment light (models/envlight.py); None = no env (reference
+    # behavior: rays that miss die, renderer/Shaders.metal:119-124)
+    env: object | None = None
+    # per-triangle texcoords (6, T): uv0.xy, uv1.xy, uv2.xy (None = untextured;
+    # the reference parses texcoords but discards them, Renderer.mm:365-369)
+    tri_uv: jnp.ndarray | None = None
+    # per-material texture index into ``textures`` (-1 = untextured material)
+    mat_tex: jnp.ndarray | None = None
+    # (K, TH, TW, 3) RGB texture stack (all textures resampled to one size)
+    textures: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -100,6 +111,34 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
     )
     light_tri_idx = with_sentinel(light_tri.astype(np.uint32), 0)
 
+    # --- textures (config-4 extension; reference drops texcoords,
+    # renderer/Renderer.mm:365-369): stack every map_Kd at one common size ---
+    tri_uv = mat_tex = textures = None
+    tex_paths = [m.map_kd for m in mesh.materials]
+    if mesh.texcoords is not None and any(tex_paths):
+        from ..io.png import read_png
+        from ..models.texture import resample_nearest
+
+        images, tex_of_mat = [], {}
+        for path in tex_paths:
+            if path and path not in tex_of_mat:
+                tex_of_mat[path] = len(images)
+                images.append(read_png(path))
+        th = max(im.shape[0] for im in images)
+        tw = max(im.shape[1] for im in images)
+        stack = np.stack([
+            im if im.shape[:2] == (th, tw) else resample_nearest(im, th, tw)
+            for im in images
+        ])
+        mat_tex = jnp.asarray(
+            [tex_of_mat.get(p, -1) if p else -1 for p in tex_paths], jnp.int32
+        )
+        uv = mesh.texcoords  # (V, 2)
+        tri_uv = jnp.asarray(np.concatenate(
+            [uv[tris[:, k]] for k in range(3)], axis=1
+        ).T)  # (6, T): uv0.xy, uv1.xy, uv2.xy
+        textures = jnp.asarray(stack)
+
     # (rows, S) RGB table -> (S, rows) component-major spectrum table
     up = lambda rgb: spec.from_rgb(jnp.asarray(rgb, jnp.float32), samples).T
     cm = lambda arr: jnp.asarray(arr.T)  # (T, 3) -> (3, T)
@@ -121,7 +160,47 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
         light_pdf=jnp.asarray(light_pdf),
         light_cdf=jnp.asarray(light_cdf),
         light_tri=jnp.asarray(light_tri_idx),
+        tri_uv=tri_uv,
+        mat_tex=mat_tex,
+        textures=textures,
     )
+
+
+def area_light_power(scene: Scene) -> float:
+    """Total emitted power of the area lights (for env select_p balancing):
+    sum over lights of luminance(emissive) * area * pi."""
+    from ..core import spectrum as spec
+
+    rgb = np.asarray(spec.to_rgb(scene.light_emissive.T).T)  # (3, L+1)
+    lum = 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
+    return float((lum[:-1] * np.asarray(scene.light_area)[:-1]).sum() * np.pi)
+
+
+def attach_env(
+    scene: Scene,
+    image,
+    strength: float = 1.0,
+    rotation: float = 0.0,
+    select_p: float | None = None,
+) -> Scene:
+    """Attach an HDR lat-long environment light ((Eh, Ew, 3) array or an EXR
+    path) to a scene.  NEE then samples env vs area lights by emitted power
+    unless ``select_p`` overrides."""
+    from ..models.envlight import build_env
+
+    if isinstance(image, str):
+        from ..io.exr import read_exr
+
+        image, _ = read_exr(image)
+    env = build_env(
+        np.asarray(image, np.float32),
+        strength=strength,
+        rotation=rotation,
+        select_p=select_p,
+        area_light_power=area_light_power(scene),
+        samples=scene.mat_diffuse.shape[0],
+    )
+    return scene._replace(env=env)
 
 
 def load_scene(path: str, samples: int = 3) -> Scene:
