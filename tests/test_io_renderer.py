@@ -1,5 +1,6 @@
 import os
 
+import pytest
 import numpy as np
 
 from tpu_pathtracer.config import RenderConfig
@@ -127,3 +128,21 @@ def test_cli_content_scale(tmp_path):
     assert rc == 0
     img, _ = read_exr(out)
     assert img.shape == (48, 64, 3)
+
+
+def test_checkpoint_resume_orbax(tmp_path):
+    # Orbax backend (directory checkpoints, per-shard writes for large or
+    # multi-host-sharded accumulators) round-trips bit-exactly, same as npz.
+    pytest.importorskip("orbax.checkpoint")
+    r = Renderer("cornellbox", cfg=CFG, **TINY)
+    r.run(2)
+    path = str(tmp_path / "ckpt_orbax")  # no .npz suffix -> orbax
+    r.save_checkpoint(path)
+    r.run(2)
+    after4 = r.image()
+
+    r2 = Renderer("cornellbox", cfg=CFG, **TINY)
+    r2.load_checkpoint(path)
+    assert r2.frame_index == 2
+    r2.run(2)
+    np.testing.assert_array_equal(r2.image(), after4)

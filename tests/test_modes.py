@@ -287,3 +287,20 @@ def test_live_prefix_ladder_matches_full_width():
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
     # the overwhelming majority of pixels are exactly equal
     assert (a == b).mean() > 0.9
+
+
+def test_live_prefix_ladder_with_hero_bins():
+    # Ladder slicing must also carry the (C, N) hero-bin plane and the
+    # scatter-add image assembly; compare against the full-width pipeline.
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=5, spectrum_samples=8,
+        hero_wavelengths=4, secondary_tile=256, live_ladder=0,
+    )
+    size = dict(width=128, height=96)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer("cornellbox", cfg=base.replace(live_ladder=3), **size)
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)

@@ -39,7 +39,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
     p.add_argument("--no-pallas", action="store_true")
-    p.add_argument("--leaf-size", type=int, default=32)
+    p.add_argument("--leaf-size", type=int, default=None,
+                   help="override cfg.leaf_size (nearest-hit BVH leaf)")
     p.add_argument("--builder", choices=("auto", "sah", "lbvh"), default="auto",
                    help="BVH builder: native C++ SAH or jittable JAX LBVH")
     p.add_argument("--no-accumulate", action="store_true")
@@ -54,8 +55,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="azimuth rotation of the env map in radians")
     p.add_argument("-o", "--exr", help="write accumulated radiance EXR")
     p.add_argument("--png", help="write tonemapped/sRGB PNG")
-    p.add_argument("--checkpoint", help="write render-state checkpoint (.npz)")
-    p.add_argument("--resume", help="resume from a checkpoint")
+    p.add_argument("--checkpoint",
+                   help="write render-state checkpoint (a .npz path uses "
+                        "the single-file backend; any other path writes "
+                        "an Orbax directory with per-shard arrays)")
+    p.add_argument("--resume", help="resume from a checkpoint (either backend)")
     p.add_argument("--compare-mode", type=int, default=0,
                    help="0=off 1=abs 2=ref-color 3=color-ref 4=luminance")
     p.add_argument("--compare-scale", type=float, default=10.0)

@@ -106,6 +106,17 @@ class RenderConfig:
     # Ray-tile width for occlusion (shadow) queries: coherent + range-capped
     # walks are short, so bigger tiles amortize per-program cost best.
     occlusion_tile: int = 3072
+    # Leaf triangle test: "bw" (Baldwin-Weber planes, ~20% fewer vector ops)
+    # or "mt" (classic Moller-Trumbore).  An MXU dot-product formulation of
+    # the BW planes measured 1.4-1.7x slower (docs/ROADMAP.md).
+    tritest: str = "bw"
+    # BVH leaf sizes, A/B'd per query class on v5e (scripts, r3): nearest-hit
+    # walks win with fat leaves (fewer demanded leaf blocks per tile union);
+    # range-capped occlusion walks prune most leaves by t_max and prefer
+    # small ones.  None = share the nearest-hit layout (saves the second
+    # table's HBM + build).  Must stay <= 63 (leaf count packs in 6 bits).
+    leaf_size: int = 48
+    occlusion_leaf_size: int | None = 16
     # Big-triangle pre-pass size: MT-test the K largest triangles before the
     # walk to prime best_t (K=0 disables; must be a multiple of 8).
     traversal_prepass: int = 32

@@ -462,6 +462,12 @@ def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
       (K, 16)): t from one plane, u/v from two more at p = o + t*d.  No
       cross products in the hot loop (~20% fewer ops than MT).
     * ``"mt"`` — classic Moller-Trumbore on (K, 24) layout.tris8 rows.
+
+    (An MXU formulation of the BW planes — (K, 4) @ (4, TILE) dot products —
+    was measured 1.4-1.7x SLOWER than the VPU form at every leaf size: the
+    division/acceptance/latch epilogue stays on the VPU over the full
+    (K, TILE) matrix and the tiny-K matmuls never amortize MXU latency.
+    See docs/ROADMAP.md negative results.)
     """
     ox, oy, oz = oxyz
     dx, dy, dz = dxyz
@@ -573,7 +579,7 @@ def _window_kernel(
     sent = jnp.int32(num_nodes)
     cur0 = jnp.where(act, jnp.int32(0), sent)
     zeros = jnp.zeros((tile,), jnp.float32)
-    leaf_col = 12 if tritest == "bw" else 21
+    leaf_col = 21 if tritest == "mt" else 12
     best = (
         t_max,                                       # best_t (primed by cap)
         jnp.full((tile,), float(num_tris), jnp.float32),  # row (sentinel)
@@ -746,8 +752,8 @@ def intersect_bvh_window(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    tris_tab = lay.tris8bw if tritest == "bw" else lay.tris8
-    pre_tab = lay.prepassbw if tritest == "bw" else lay.prepass
+    tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
+    pre_tab = lay.prepass if tritest == "mt" else lay.prepassbw
     inputs = [rays, lay.nodes8, lay.meta4, tris_tab]
     if prepass:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -827,6 +833,7 @@ def resolve_window_payload(
 
 def make_pallas_intersector(
     lay: BVHLayout,
+    lay_occl: BVHLayout | None = None,
     t_min: float = 0.0,
     tile: int = DEFAULT_TILE,
     kernel: str = "window",
@@ -837,6 +844,7 @@ def make_pallas_intersector(
     secondary_window: int = 16,
     secondary_mtblock: int = 16,
     secondary_chain: int = 6,
+    tritest: str = "bw",
 ):
     """Build the production intersection callable.
 
@@ -848,27 +856,31 @@ def make_pallas_intersector(
     * incoherent nearest-hit (bounce wavefronts): smaller tiles + 16-node
       windows + 16-row MT blocks win;
     * occlusion (t_max-capped shadow rays): the v1 min-walk without payload
-      resolve, big tiles.
+      resolve, big tiles, optionally its own small-leaf layout
+      (``lay_occl`` — the range cap prunes most leaves, so smaller blocks
+      waste fewer lane-ops per demanded leaf).
     """
+    occl = lay_occl if lay_occl is not None else lay
 
     def fn(o, d, active, t_max=None, coherent=False):
         if t_max is not None:
             # capped occlusion-style query (shadow rays): v1 kernel skips the
             # payload resolve and the cap prunes subtrees beyond the light
             return intersect_bvh_pallas(
-                o, d, lay, t_min=t_min, active=active, tile=occlusion_tile,
+                o, d, occl, t_min=t_min, active=active, tile=occlusion_tile,
                 t_max=t_max, resolve=False, prepass=0,
             )
         if kernel == "window":
             if coherent:
                 return intersect_bvh_window(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
-                    prepass=prepass, chain=chain,
+                    prepass=prepass, chain=chain, tritest=tritest,
                 )
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
                 prepass=prepass, chain=secondary_chain,
                 window=secondary_window, mtblock=secondary_mtblock,
+                tritest=tritest,
             )
         return intersect_bvh_pallas(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,

@@ -283,9 +283,12 @@ def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
     return fn
 
 
-def make_intersector(scene: Scene, cfg: RenderConfig, lay=None) -> IntersectFn:
+def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
+                     lay_occl=None) -> IntersectFn:
     """Pick the intersection backend: brute (no BVH), pure-JAX BVH traversal,
-    or the Pallas tile-coherent kernel (TPU)."""
+    or the Pallas tile-coherent kernel (TPU).  ``lay_occl`` optionally gives
+    occlusion (t_max-capped) queries their own layout (small leaves win for
+    range-pruned walks; fat leaves win for nearest-hit — config.py)."""
     if cfg.intersector == "brute" or lay is None:
         return make_brute_intersector(scene)
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -294,6 +297,7 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None) -> IntersectFn:
 
         return make_pallas_intersector(
             lay,
+            lay_occl=lay_occl,
             tile=cfg.traversal_tile,
             kernel=cfg.traversal_kernel,
             chain=cfg.traversal_chain,
@@ -303,6 +307,7 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None) -> IntersectFn:
             secondary_window=cfg.secondary_window,
             secondary_mtblock=cfg.secondary_mtblock,
             secondary_chain=cfg.secondary_chain,
+            tritest=cfg.tritest,
         )
     from ..ops.traverse import make_bvh_intersector
 

@@ -33,7 +33,7 @@ class Renderer:
         cfg: RenderConfig | None = None,
         seed: int = 0,
         camera: Camera | None = None,
-        leaf_size: int = 32,
+        leaf_size: int | None = None,
         builder: str = "auto",
     ):
         self.cfg = cfg or RenderConfig()
@@ -42,11 +42,21 @@ class Renderer:
             else load_scene(scene_path(scene), samples=self.cfg.spectrum_samples)
         )
         self.camera = camera or Camera.reference_default()
+        leaf = leaf_size if leaf_size is not None else self.cfg.leaf_size
+        occl_leaf = self.cfg.occlusion_leaf_size
         self.layout = (
             None if self.cfg.intersector == "brute"
-            else build_layout(self.scene, leaf_size=leaf_size, builder=builder)
+            else build_layout(self.scene, leaf_size=leaf, builder=builder)
         )
-        self._intersect = make_intersector(self.scene, self.cfg, self.layout)
+        # occlusion queries get their own (small-leaf) layout when configured
+        self.layout_occl = (
+            build_layout(self.scene, leaf_size=occl_leaf, builder=builder)
+            if self.layout is not None and occl_leaf not in (None, leaf)
+            else None
+        )
+        self._intersect = make_intersector(
+            self.scene, self.cfg, self.layout, self.layout_occl
+        )
         self._seed = seed
 
         cfg_ = self.cfg

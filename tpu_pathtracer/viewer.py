@@ -61,6 +61,11 @@ class ViewerServer:
         self.renderer = renderer
         self.scene_name = scene_name
         self.lock = threading.Lock()
+        # last encoded frame: (frame_count, png bytes).  Polls for a frame
+        # that is already encoded are served without touching the renderer,
+        # so concurrent viewers cannot pile sync+transfer stalls onto the
+        # render loop — at most one image grab happens per finished frame.
+        self._png_cache: tuple[int, bytes] | None = None
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -81,9 +86,19 @@ class ViewerServer:
                     if path in ("/", "/index.html"):
                         self._send(200, "text/html", _PAGE.encode())
                     elif path == "/frame.png":
-                        with viewer.lock:
-                            img = viewer.renderer.image(tonemapped=True, rgb=True)
-                        self._send(200, "image/png", png_bytes(img))
+                        cached = viewer._png_cache
+                        count = viewer.renderer._frame_count
+                        if cached is not None and cached[0] == count:
+                            self._send(200, "image/png", cached[1])
+                        else:
+                            with viewer.lock:
+                                count = viewer.renderer._frame_count
+                                img = viewer.renderer.image(
+                                    tonemapped=True, rgb=True
+                                )
+                            body = png_bytes(img)
+                            viewer._png_cache = (count, body)
+                            self._send(200, "image/png", body)
                     elif path == "/stats.json":
                         with viewer.lock:
                             r = viewer.renderer
