@@ -231,6 +231,69 @@ def test_pallas_occlusion_capped(scene_and_layout):
     assert (np.asarray(ho.tri)[within] == np.asarray(hb.tri)[within]).mean() > 0.98
 
 
+def test_pallas_occlusion_anyhit_matches_nearest(scene_and_layout):
+    """The any-hit occlusion kernel's clear mask == the reference nearest-
+    hit==target formulation, on NEE-shaped shadow rays (origins on random
+    surface points, targets sampled on real light triangles, caps at the
+    sample distance + 4eps) plus env-style lanes (target -1, unbounded)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    eps = 1e-4
+    n = 512
+    # surface origins: offset brute hits of random rays along the normal
+    o0, d0 = _random_rays(n, key=17)
+    hb = intersect_brute(o0, d0, scene.p0, scene.p1, scene.p2)
+    hit_ok = np.isfinite(np.asarray(hb.t))
+    t_safe = jnp.where(jnp.isfinite(hb.t), hb.t, 1.0)
+    origin = o0 + t_safe[None] * d0 - d0 * eps  # back off along the ray
+    # targets: a random light triangle + barycentric sample per lane
+    key = jax.random.PRNGKey(23)
+    k1, k2, k3 = jax.random.split(key, 3)
+    num_lights = int(scene.light_tri.shape[0]) - 1
+    li = jax.random.randint(k1, (n,), 0, max(num_lights, 1))
+    tgt = scene.light_tri[li].astype(jnp.int32)
+    r1 = jax.random.uniform(k2, (n,))
+    r2 = jax.random.uniform(k3, (n,))
+    su = 1.0 - jnp.sqrt(r1)
+    sv = jnp.sqrt(r1) * r2
+    p0 = scene.p0[:, tgt] if scene.p0.ndim == 2 else scene.p0[tgt]
+    p1 = scene.p1[:, tgt] if scene.p1.ndim == 2 else scene.p1[tgt]
+    p2 = scene.p2[:, tgt] if scene.p2.ndim == 2 else scene.p2[tgt]
+    lp = p0 + su[None] * (p1 - p0) + sv[None] * (p2 - p0)
+    delta = lp - origin
+    dist = jnp.linalg.norm(delta, axis=0)
+    nee_d = delta / jnp.maximum(dist, 1e-12)[None]
+    cap = dist + 4.0 * eps
+    # every 5th lane becomes an env-style sample: target -1, unbounded cap
+    is_env = jnp.arange(n) % 5 == 0
+    tgt = jnp.where(is_env, -1, tgt)
+    cap = jnp.where(is_env, 1e30, cap)
+    act = jnp.asarray(hit_ok)
+
+    with pltpu.force_tpu_interpret_mode():
+        clear_any = pt.occlusion_clear_anyhit(
+            origin, nee_d, lay, act, cap, tgt, eps=eps, tile=128
+        )
+        hit = pt.intersect_bvh_pallas(
+            origin, nee_d, lay, tile=128, t_max=cap, active=act,
+            resolve=False, prepass=0,
+        )
+    valid = np.isfinite(np.asarray(hit.t))
+    clear_near = np.asarray(act) & np.where(
+        np.asarray(tgt) >= 0,
+        valid & (np.asarray(hit.t) >= eps) & (np.asarray(hit.tri) == np.asarray(tgt)),
+        ~valid,
+    )
+    clear_any = np.asarray(clear_any) & np.asarray(act)
+    # exact agreement except the Moller-Trumbore roundoff band on the
+    # occluder-vs-light-distance comparison (ops/pallas_traverse.py)
+    mismatch = (clear_any != clear_near).mean()
+    assert mismatch < 2e-3, mismatch
+
+
 def test_full_frame_pallas_matches_pure_jax():
     """One frame through the full sorted-wavefront pipeline with the Pallas
     intersector (interpret mode) == the same frame with pure-JAX traversal.

@@ -104,19 +104,34 @@ class RenderConfig:
     secondary_mtblock: int = 16
     secondary_chain: int = 6
     # Ray-tile width for occlusion (shadow) queries: coherent + range-capped
-    # walks are short, so bigger tiles amortize per-program cost best.
-    occlusion_tile: int = 3072
+    # walks are short, so bigger tiles amortize per-program cost best
+    # (6144: 48 ms vs 3072: 55 at leaf8).
+    occlusion_tile: int = 6144
+    # Any-hit occlusion kernel: shadow lanes die at their FIRST occluder
+    # instead of finishing a nearest-hit walk.  Measured on v5e (2M shadow
+    # rays, Water-plastic): 24% FASTER for unbounded env-sample rays (no
+    # range cap prunes the walk, so early death is the only cut) but ~8%
+    # SLOWER for area-light rays (the range cap already ends clear lanes'
+    # walks at the light; clear lanes define the tile union, and the
+    # occluder/target latches cost extra).  "auto" = any-hit iff the scene
+    # carries an environment light; "on"/"off" force it.  Visibility
+    # semantics match the reference's nearest-hit==target check up to
+    # Moller-Trumbore roundoff (~1e-6) on the occluder-vs-light distance
+    # comparison (ops/pallas_traverse.py:_occlusion_anyhit_kernel).
+    occlusion_anyhit: str = "auto"
     # Leaf triangle test: "bw" (Baldwin-Weber planes, ~20% fewer vector ops)
     # or "mt" (classic Moller-Trumbore).  An MXU dot-product formulation of
     # the BW planes measured 1.4-1.7x slower (docs/ROADMAP.md).
     tritest: str = "bw"
     # BVH leaf sizes, A/B'd per query class on v5e (scripts, r3): nearest-hit
-    # walks win with fat leaves (fewer demanded leaf blocks per tile union);
-    # range-capped occlusion walks prune most leaves by t_max and prefer
-    # small ones.  None = share the nearest-hit layout (saves the second
-    # table's HBM + build).  Must stay <= 63 (leaf count packs in 6 bits).
-    leaf_size: int = 48
-    occlusion_leaf_size: int | None = 16
+    # walks win with fat leaves (fewer demanded leaf blocks per tile union;
+    # 48: 217 ms, 56: 211, 63: 214 on the 2M diffuse wavefront); range-capped
+    # occlusion walks prune most leaves by t_max and prefer small ones
+    # (8: 48 ms, 16: 52 at tile 6144).  None = share the nearest-hit layout
+    # (saves the second table's HBM + build).  Must stay <= 63 (leaf count
+    # packs in 6 bits).
+    leaf_size: int = 56
+    occlusion_leaf_size: int | None = 8
     # Big-triangle pre-pass size: MT-test the K largest triangles before the
     # walk to prime best_t (K=0 disables; must be a multiple of 8).
     traversal_prepass: int = 32

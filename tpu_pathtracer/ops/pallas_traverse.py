@@ -269,6 +269,192 @@ def _traverse_kernel(
     out_ref[11, :] = nz
 
 
+def _occlusion_anyhit_kernel(
+    rays_ref,      # (8, TILE) f32: ox oy oz dx dy dz targetcode cap
+    nodes_ref,     # (M, 8) f32 VMEM
+    meta_ref,      # (M, 2) i32 VMEM [miss, first*64+count]
+    tris_ref,      # (T+1, 24) f32 VMEM
+    out_ref,       # (8, TILE) f32: [occluded, target_hit, 0...]
+    *,
+    num_nodes: int,
+    max_leaf: int,
+    t_min: float,
+    eps: float,
+):
+    """Any-hit occlusion walk with early lane death.
+
+    Visibility semantics match the reference's lightSamplingHandler
+    (reference: renderer/Shaders.metal:214-231, "nearest hit must BE the
+    targeted light triangle") re-expressed so a lane can stop at its FIRST
+    occluder instead of finishing a nearest-hit walk:
+
+      clear  =  target was hit  AND  no non-target hit closer than it
+
+    ``targetcode`` packs per-lane state into the ray plane the nearest-hit
+    kernels use for ``active``: 0 = inactive, 1 = environment sample (any
+    scene hit occludes, no target to hit), ``orig_tri_id + 2`` otherwise.
+    The occluder threshold is ``cap - 4*eps`` — the wavefront issues shadow
+    caps at ``light_dist + 4*eps`` (render/wavefront.py), so the threshold
+    recovers the light distance; the reference compares occluders against
+    the target's own intersection t, which equals the sample distance up to
+    Moller-Trumbore roundoff (~1e-6 relative — covered by the self-golden
+    gates' 1e-3 band).
+
+    A lane that latches an occluder jumps its cursor to the sentinel, so
+    the tile's min-walk no longer visits subtrees only shadowed lanes
+    demanded — the big win over the nearest-hit form, where an occluded
+    lane keeps refining best_t to the end.
+    """
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    code = rays_ref[6, :]
+    cap = rays_ref[7, :]
+    act = code > 0.0
+    targetf = code - 2.0           # env lanes: -1, never equals an orig id
+    thresh = cap - 4.0 * eps       # occluders must be nearer than the light
+    ix, iy, iz = safe_inverse(dx, dy, dz)
+
+    tile = ox.shape[0]
+    num_tris = tris_ref.shape[0] - 1
+    sentinel = jnp.int32(num_nodes)
+    cur0 = jnp.where(act, jnp.int32(0), sentinel)
+    zeros = jnp.zeros((tile,), jnp.float32)
+
+    def cond(carry):
+        return jnp.min(carry[0]) < sentinel
+
+    def body(carry):
+        cur, occ, tgt = carry
+        node = jnp.min(cur)
+        row = nodes_ref[node, :]
+        mask = cur == node
+
+        t0x = (row[0] - ox) * ix
+        t1x = (row[3] - ox) * ix
+        t0y = (row[1] - oy) * iy
+        t1y = (row[4] - oy) * iy
+        t0z = (row[2] - oz) * iz
+        t1z = (row[5] - oz) * iz
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit_box = mask & (enter <= exit_) & (exit_ > t_min) & (enter < cap)
+
+        miss_link = meta_ref[node, 0]
+        meta = meta_ref[node, 1]
+        count = meta & 63
+        first = meta >> 6
+        is_leaf = count > 0
+
+        for k in range(max_leaf):
+            on = is_leaf & (k < count)
+            tri = jnp.minimum(first + k, num_tris)
+            trow = tris_ref[tri, :]
+            px = dy * trow[8] - dz * trow[7]
+            py = dz * trow[6] - dx * trow[8]
+            pz = dx * trow[7] - dy * trow[6]
+            det = trow[3] * px + trow[4] * py + trow[5] * pz
+            inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+            tx = ox - trow[0]
+            ty = oy - trow[1]
+            tz = oz - trow[2]
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * trow[5] - tz * trow[4]
+            qy = tz * trow[3] - tx * trow[5]
+            qz = tx * trow[4] - ty * trow[3]
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
+            acc = (
+                on
+                & hit_box
+                & (det != 0.0)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > t_min)
+            )
+            is_tgt = trow[9] == targetf
+            occ = jnp.where(acc & (~is_tgt) & (tt < thresh), 1.0, occ)
+            tgt = jnp.where(acc & is_tgt & (tt >= eps) & (tt < cap), 1.0, tgt)
+
+        nxt = jnp.where(hit_box & jnp.logical_not(is_leaf), node + 1, miss_link)
+        nxt = jnp.where(occ > 0.0, sentinel, nxt)   # early death: occluded
+        cur = jnp.where(mask, nxt, cur)
+        return cur, occ, tgt
+
+    _, occ, tgt = jax.lax.while_loop(cond, body, (cur0, zeros, zeros))
+    out_ref[0, :] = occ
+    out_ref[1, :] = tgt
+    for k in range(2, 8):
+        out_ref[k, :] = zeros
+
+
+def occlusion_clear_anyhit(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    lay: BVHLayout,
+    active,
+    t_max,
+    target,
+    eps: float,
+    t_min: float = 0.0,
+    tile: int = 3072,
+) -> jnp.ndarray:
+    """Shadow visibility via the any-hit kernel -> (N,) bool ``clear``.
+
+    ``target``: (N,) int32 original-triangle id of the sampled light
+    triangle, or -1 for environment samples (clear iff nothing hit).
+
+    NOTE: inactive env lanes (active==0, target<0) report clear=True (their
+    walk never runs, so ``occ`` stays 0) — callers must mask with their own
+    active predicate, as render/wavefront.occlusion_clear does.
+    """
+    n = o.shape[1]
+    pad = (-n) % tile
+    act = active.astype(jnp.float32)
+    code = jnp.where(
+        act > 0.0,
+        jnp.where(target >= 0, target.astype(jnp.float32) + 2.0, 1.0),
+        0.0,
+    )
+    cap = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    rays = jnp.concatenate([o, d, code[None], cap[None]], axis=0)   # (8, N)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    total = n + pad
+    kernel = functools.partial(
+        _occlusion_anyhit_kernel,
+        num_nodes=lay.num_nodes,
+        max_leaf=lay.max_leaf,
+        t_min=t_min,
+        eps=eps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(total // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+    )(rays, lay.nodes, lay.nodes_meta, lay.tris)
+    occ = out[0, :n] > 0.0
+    tgt = out[1, :n] > 0.0
+    return jnp.where(target >= 0, tgt & (~occ), ~occ)
+
+
 def intersect_bvh_pallas(
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -845,6 +1031,8 @@ def make_pallas_intersector(
     secondary_mtblock: int = 16,
     secondary_chain: int = 6,
     tritest: str = "bw",
+    anyhit: bool = True,
+    eps: float = 1e-4,
 ):
     """Build the production intersection callable.
 
@@ -886,4 +1074,12 @@ def make_pallas_intersector(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
 
+    if anyhit:
+        def occlusion(o, d, active, t_max, target):
+            return occlusion_clear_anyhit(
+                o, d, occl, active, t_max, target, eps=eps, t_min=t_min,
+                tile=occlusion_tile,
+            )
+
+        fn.occlusion = occlusion
     return fn

@@ -308,6 +308,10 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
             secondary_mtblock=cfg.secondary_mtblock,
             secondary_chain=cfg.secondary_chain,
             tritest=cfg.tritest,
+            anyhit=(cfg.occlusion_anyhit == "on"
+                    or (cfg.occlusion_anyhit == "auto"
+                        and scene.env is not None)),
+            eps=cfg.distance_epsilon,
         )
     from ..ops.traverse import make_bvh_intersector
 
@@ -517,11 +521,8 @@ def trace_bounce(
             }
             return new_state, pack, stats
         return new_state, pack
-    shadow_hit = intersect(shadow_origin, nee_dir, light_ok, t_max=shadow_cap)
-    shadow_clear = light_ok & jnp.where(
-        target >= 0,
-        shadow_hit.valid & (shadow_hit.t >= eps) & (shadow_hit.tri == target),
-        jnp.logical_not(shadow_hit.valid),  # env sample: clear iff unoccluded
+    shadow_clear = occlusion_clear(
+        intersect, shadow_origin, nee_dir, light_ok, shadow_cap, target, eps
     )
     new_state = new_state._replace(
         radiance=new_state.radiance + jnp.where(shadow_clear[None], nee_contrib, 0.0)
@@ -537,18 +538,36 @@ def trace_bounce(
     return new_state
 
 
+def occlusion_clear(
+    intersect: IntersectFn, o, d, ok, cap, target, eps: float
+) -> jnp.ndarray:
+    """Shadow visibility, reference semantics: the NEAREST hit within the
+    range cap must BE the targeted light triangle (reference:
+    renderer/Shaders.metal:214-231); env samples (target -1) are clear iff
+    nothing is hit.  When the intersector exposes a native any-hit occlusion
+    kernel (``intersect.occlusion``, cfg.occlusion_anyhit) that is used
+    instead — same semantics, but shadowed lanes stop at their first
+    occluder."""
+    occl = getattr(intersect, "occlusion", None)
+    if occl is not None:
+        return ok & occl(o, d, ok, cap, target)
+    hit = intersect(o, d, ok, t_max=cap)
+    return ok & jnp.where(
+        target >= 0,
+        hit.valid & (hit.t >= eps) & (hit.tri == target),
+        jnp.logical_not(hit.valid),
+    )
+
+
 def resolve_shadow(
     intersect: IntersectFn, state: PathState, pack: ShadowPack, eps: float
 ) -> PathState:
     """Resolve a deferred NEE pack against the (sorted) wavefront: the shadow
     origin is the lane's current path origin (same hit point).  Mirrors
     lightSamplingHandler (reference: renderer/Shaders.metal:214-231)."""
-    hit = intersect(state.origin, pack.to_light, pack.ok, t_max=pack.cap)
-    target = pack.target.astype(jnp.int32)
-    clear = pack.ok & jnp.where(
-        target >= 0,
-        hit.valid & (hit.t >= eps) & (hit.tri == target),
-        jnp.logical_not(hit.valid),  # env sample (target -1): unoccluded
+    clear = occlusion_clear(
+        intersect, state.origin, pack.to_light, pack.ok, pack.cap,
+        pack.target.astype(jnp.int32), eps,
     )
     return state._replace(
         radiance=state.radiance + jnp.where(clear[None], pack.contrib, 0.0)
