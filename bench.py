@@ -40,10 +40,14 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--intersector", default="bvh")
+    ap.add_argument("--spp", type=int, default=1,
+                    help="samples per frame (fused into one wavefront; >1 "
+                         "raises traced Mrays/s via wavefront density — see "
+                         "docs/ROADMAP.md — but the headline config is 1)")
     args = ap.parse_args()
 
     cfg = RenderConfig(
-        samples_per_frame=1, max_path_length=args.depth,
+        samples_per_frame=args.spp, max_path_length=args.depth,
         intersector=args.intersector,
     )
     r = Renderer(args.scene, width=args.width, height=args.height, cfg=cfg)
@@ -81,7 +85,7 @@ def main() -> None:
 
     img = r.image()
     result = {
-        "metric": "traced_mrays_per_sec_per_chip_1080p_1spp",
+        "metric": f"traced_mrays_per_sec_per_chip_1080p_{args.spp}spp",
         "value": round(honest_mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(honest_mrays / BASELINE_MRAYS, 4),
@@ -92,7 +96,7 @@ def main() -> None:
         "best_ms_per_frame": round(best * 1e3, 3),
         "best_mrays_per_s": round(traced / best / 1e6, 3),
         "frame_times_ms": [round(t * 1e3, 1) for t in times],
-        "spp_per_sec": round(1.0 / frame_time, 4),
+        "spp_per_sec": round(args.spp / frame_time, 4),
         "scene": args.scene,
         "resolution": f"{args.width}x{args.height}",
         "path_depth": args.depth,

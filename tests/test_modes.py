@@ -304,3 +304,45 @@ def test_live_prefix_ladder_with_hero_bins():
     a, b = np.asarray(r0.image()), np.asarray(r1.image())
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
+def test_fused_samples_match_per_sample_loop():
+    # PRNG sample fusion: spp traced as ONE wide wavefront must equal the
+    # per-sample loop exactly — both draw from the same absolute
+    # virtual-pixel-id counter streams, only the wavefront grouping differs.
+    base = RenderConfig(samples_per_frame=4, max_path_length=4)
+    size = dict(width=48, height=32)
+    r0 = Renderer("cornellbox", cfg=base.replace(fuse_samples=1), **size)
+    r0.run(2)
+    r1 = Renderer("cornellbox", cfg=base.replace(fuse_samples=4), **size)
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_fused_samples_odd_chunking():
+    # spp=5 with fuse=2 exercises the 2+2+1 chunk schedule
+    base = RenderConfig(samples_per_frame=5, max_path_length=3)
+    size = dict(width=32, height=24)
+    r0 = Renderer("cornellbox", cfg=base.replace(fuse_samples=1), **size)
+    r0.run(1)
+    r1 = Renderer("cornellbox", cfg=base.replace(fuse_samples=2), **size)
+    r1.run(1)
+    np.testing.assert_allclose(
+        np.asarray(r0.image()), np.asarray(r1.image()), atol=1e-6, rtol=1e-5
+    )
+
+
+def test_fused_samples_hero_spectral():
+    # fusion + hero-wavelength scatter accumulation compose
+    base = RenderConfig(samples_per_frame=2, max_path_length=3,
+                        spectrum_samples=8, hero_wavelengths=4)
+    size = dict(width=32, height=24)
+    r0 = Renderer("cornellbox", cfg=base.replace(fuse_samples=1), **size)
+    r0.run(1)
+    r1 = Renderer("cornellbox", cfg=base.replace(fuse_samples=2), **size)
+    r1.run(1)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)

@@ -35,6 +35,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "its compiled-in value is 0.5)")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--spp-per-frame", type=int, default=1)
+    p.add_argument("--fuse-samples", type=int, default=None,
+                   help="max samples fused into one wavefront (PRNG only; "
+                        "default: config's 2 — see docs/ROADMAP.md)")
     p.add_argument("--depth", type=int, default=8, help="MAX_PATH_LENGTH")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", choices=("bvh", "brute"), default="bvh")
@@ -99,6 +102,8 @@ def main(argv=None) -> int:
         content_scale=args.content_scale,
         max_path_length=args.depth,
         samples_per_frame=args.spp_per_frame,
+        **({"fuse_samples": args.fuse_samples}
+           if args.fuse_samples is not None else {}),
         accumulate_image=not args.no_accumulate,
         enable_tone_mapping=args.tone_map,
         noise_mode=NoiseMode.TILED if args.noise == "tiled" else NoiseMode.PRNG,

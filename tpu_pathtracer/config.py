@@ -80,6 +80,17 @@ class RenderConfig:
     reference_quirks: bool = True
     # Samples per pixel per frame (the reference always renders 1 spp/frame).
     samples_per_frame: int = 1
+    # Max samples fused into ONE wavefront (PRNG noise only; 0/1 disables).
+    # Fused samples share every sort/traversal launch, and the extra lane
+    # density shrinks the spatial extent each sorted ray-tile spans — the
+    # BVH tile unions the traversal pays for shrink with it (v5e, diffuse
+    # wavefront: 9.8 Mrays/s at 2M lanes, 13.3 at 4M, 17.4 at 8M).  Each
+    # sample keys its RNG on an absolute virtual pixel id, so the image is
+    # invariant to how samples are grouped or sharded.  Memory scales with
+    # the fused count: 4 fused samples at 1080p (8.3M lanes) exceed a v5e's
+    # 16 GB HBM (compile-time OOM at 17.3G), so the default is 2; raise it
+    # for smaller frames.
+    fuse_samples: int = 2
     # Intersection backend: "bvh" (default; LBVH + stackless traversal) or
     # "brute" (O(N*T) Moller-Trumbore, for testing/small scenes).
     intersector: str = "bvh"
@@ -96,11 +107,14 @@ class RenderConfig:
     traversal_kernel: str = "window"
     # In-register window chain depth (advance rounds per window fetch).
     traversal_chain: int = 4
+    # MT rows per leaf-march step for the coherent (camera) kernel; one
+    # 56-row block per leaf56 measured fastest (65.2 vs 68.2 ms at m8).
+    traversal_mtblock: int = 56
     # Secondary-bounce (incoherent wavefront) kernel parameters; A/B'd on
     # v5e (scripts/perf_window_ab.py) — smaller tiles + wider windows win
     # when tile unions are large.
     secondary_tile: int = 768
-    secondary_window: int = 16
+    secondary_window: int = 8
     secondary_mtblock: int = 16
     secondary_chain: int = 6
     # Ray-tile width for occlusion (shadow) queries: coherent + range-capped

@@ -1025,6 +1025,7 @@ def make_pallas_intersector(
     kernel: str = "window",
     chain: int = CHAIN,
     prepass: int = 32,
+    mtblock: int = 56,
     occlusion_tile: int = 3072,
     secondary_tile: int = 768,
     secondary_window: int = 16,
@@ -1062,7 +1063,8 @@ def make_pallas_intersector(
             if coherent:
                 return intersect_bvh_window(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
-                    prepass=prepass, chain=chain, tritest=tritest,
+                    prepass=prepass, chain=chain, mtblock=mtblock,
+                    tritest=tritest,
                 )
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,

@@ -91,10 +91,46 @@ def sample_sum(
     The single-chip path sums all cfg.samples_per_frame samples of the full
     image; parallel/ gives each device a (row-tile, sample-shard) pair and
     psum-reduces over the sample axis.  Sample RNG keys on the absolute sample
-    index, so every partition traces identical paths.
+    index (PRNG mode: a virtual pixel id ``pixel + abs_sample * npix``), so
+    every partition traces identical paths however samples are grouped.
+
+    PRNG mode fuses up to ``cfg.fuse_samples`` samples into one wide
+    wavefront per render_sample call (see its docstring for why density
+    itself buys traversal throughput); TILED parity mode keeps the
+    reference-shaped one-sample-per-pass loop with per-sample key folds.
     """
     frame_key = frame_rng_key(cfg, key, frame_index)
     sample_count = cfg.samples_per_frame if sample_count is None else sample_count
+    zeros = jnp.zeros((height, width, cfg.spectrum_samples), jnp.float32)
+
+    if cfg.noise_mode == NoiseMode.PRNG:
+        npix = (full_height or height) * (full_width or width)
+        if cfg.samples_per_frame * npix > 2**32:
+            raise ValueError(
+                "samples_per_frame * pixels must fit in uint32 for the "
+                "virtual-pixel-id RNG schedule"
+            )
+        fuse = max(1, min(cfg.fuse_samples or 1, sample_count))
+        # one key for every fused wavefront; fold_in(.., 0) keeps sample 0's
+        # streams byte-identical to the pre-fusion per-sample-fold schedule,
+        # so 1-spp renders (goldens, self-goldens, checkpoints) are unchanged
+        wkey = jax.random.fold_in(frame_key, 0)
+
+        def run(n, s0):
+            return render_sample(
+                scene, cfg, camera, height, width, wkey, frame_index,
+                intersect, row0, full_height, full_width,
+                samples=n, sample0=s0,
+            )
+
+        n_chunks, rem = divmod(sample_count, fuse)
+        total = jax.lax.fori_loop(
+            0, n_chunks, lambda i, acc: acc + run(fuse, sample0 + i * fuse),
+            zeros,
+        ) if n_chunks else zeros
+        if rem:
+            total = total + run(rem, sample0 + n_chunks * fuse)
+        return total
 
     def one_sample(i, acc):
         k = jax.random.fold_in(frame_key, sample0 + i)
@@ -103,10 +139,7 @@ def sample_sum(
             row0, full_height, full_width,
         )
 
-    return jax.lax.fori_loop(
-        0, sample_count, one_sample,
-        jnp.zeros((height, width, cfg.spectrum_samples), jnp.float32),
-    )
+    return jax.lax.fori_loop(0, sample_count, one_sample, zeros)
 
 
 def render_frame(

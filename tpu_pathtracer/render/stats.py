@@ -84,10 +84,26 @@ def count_traced_rays_exact(
 
     camera = camera or Camera.reference_default()
 
+    from ..config import NoiseMode
+
     @partial(jax.jit, static_argnames=())
     def one_frame(key, fi):
         frame_key = frame_rng_key(cfg, key, fi)
         total = jnp.float32(0)
+        if cfg.noise_mode == NoiseMode.PRNG:
+            # mirror sample_sum's fused-chunk schedule exactly
+            fuse = max(1, min(cfg.fuse_samples or 1, cfg.samples_per_frame))
+            wkey = jax.random.fold_in(frame_key, 0)
+            done = 0
+            while done < cfg.samples_per_frame:
+                m = min(fuse, cfg.samples_per_frame - done)
+                _, c = render_sample(
+                    scene, cfg, camera, height, width, wkey, fi,
+                    intersect, with_ray_count=True, samples=m, sample0=done,
+                )
+                total = total + c
+                done += m
+            return total
         for s in range(cfg.samples_per_frame):
             k = jax.random.fold_in(frame_key, s)
             _, c = render_sample(
