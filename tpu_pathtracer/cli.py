@@ -35,6 +35,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "its compiled-in value is 0.5)")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--spp-per-frame", type=int, default=1)
+    p.add_argument("--spectrum", type=int, default=3,
+                   help="spectrum bins S (3 = reference RGB stand-in)")
+    p.add_argument("--hero", type=int, default=0,
+                   help="hero-wavelength bins per path (0 = trace all S)")
     p.add_argument("--fuse-samples", type=int, default=None,
                    help="max samples fused into one wavefront (PRNG only; "
                         "default: config's 2 — see docs/ROADMAP.md)")
@@ -54,6 +58,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
                                  "the scene with (NEE/MIS importance-sampled)")
     p.add_argument("--env-strength", type=float, default=1.0)
+    p.add_argument("--dispersion", type=float, default=None, metavar="B_UM2",
+                   help="Cauchy B (um^2) for dispersive fresnel on plastic/"
+                        "dielectric materials (use with --spectrum > 3; "
+                        "~0.0042 for BK7 glass)")
     p.add_argument("--env-rotation", type=float, default=0.0,
                    help="azimuth rotation of the env map in radians")
     p.add_argument("-o", "--exr", help="write accumulated radiance EXR")
@@ -112,9 +120,21 @@ def main(argv=None) -> int:
         use_pallas=not args.no_pallas,
         comparison_mode=ComparisonMode(args.compare_mode),
         comparison_scale=args.compare_scale,
+        spectrum_samples=args.spectrum,
+        hero_wavelengths=args.hero,
     )
+    scene = args.scene
+    if args.env or args.dispersion is not None:
+        from .scene import attach_dispersion, attach_env, load_scene, scene_path
+
+        scene = load_scene(scene_path(args.scene), samples=cfg.spectrum_samples)
+        if args.env:
+            scene = attach_env(scene, args.env, strength=args.env_strength,
+                               rotation=args.env_rotation)
+        if args.dispersion is not None:
+            scene = attach_dispersion(scene, args.dispersion)
     r = Renderer(
-        scene=args.scene, width=args.width, height=args.height,
+        scene=scene, width=args.width, height=args.height,
         cfg=cfg, seed=args.seed, leaf_size=args.leaf_size, builder=args.builder,
     )
     if args.resume:

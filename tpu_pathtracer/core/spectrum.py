@@ -58,3 +58,22 @@ def to_rgb(spec: jnp.ndarray) -> jnp.ndarray:
     weights = jnp.stack([red, green, blue], axis=0)  # (3, S)
     weights = weights / jnp.sum(weights, axis=1, keepdims=True)
     return jnp.einsum("...s,cs->...c", spec, weights)
+
+
+def bin_wavelengths(samples: int = SPECTRUM_SAMPLES) -> jnp.ndarray:
+    """(S,) nm wavelength of each spectrum bin (uniform in [400, 700];
+    for the RGB stand-in S == 3 these are the band centers)."""
+    if samples == 3:
+        return jnp.asarray([640.0, 535.0, 445.0], jnp.float32)  # R G B centers
+    return jnp.linspace(LAMBDA_MIN, LAMBDA_MAX, samples).astype(jnp.float32)
+
+
+def cauchy_ior_bins(ior_d: float, b_um2: float,
+                    samples: int = SPECTRUM_SAMPLES) -> jnp.ndarray:
+    """(S,) per-bin index of refraction from a two-term Cauchy model
+    n(lambda) = A + B / lambda_um^2, with A chosen so n(589.3 nm) == ior_d
+    (the sodium d-line the scalar material IoR is quoted at).  ``b_um2`` is
+    the Cauchy B coefficient in um^2 (~0.00420 for BK7 glass)."""
+    lam_um = bin_wavelengths(samples) / 1000.0
+    a = ior_d - b_um2 / (0.5893 ** 2)
+    return (a + b_um2 / (lam_um * lam_um)).astype(jnp.float32)

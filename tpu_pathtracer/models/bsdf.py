@@ -147,3 +147,35 @@ def _select4(mtype, v_diffuse, v_mirror, v_plastic, v_dielectric):
             jnp.where(mtype == MATERIAL_SMOOTH_PLASTIC, v_plastic, v_dielectric),
         ),
     )
+
+
+def dispersion_weights(mtype, ior, ior_bins, w_i, n, lobe_u, eta_out):
+    """Per-wavelength-bin lobe reweighting for dispersive materials
+    -> (S|C, N), multiplied into the bin throughputs.
+
+    The lobe CHOICE stays with the scalar (d-line) fresnel ``f_h`` the
+    reference uses — same uniform ``lobe_u``, same branch — and each bin b
+    re-weights its arm so its expectation over the choice is exact:
+    specular arm F_b/F_h (picked w.p. F_h -> contributes F_b), second lobe
+    (1-F_b)/(1-F_h) (picked w.p. 1-F_h -> contributes 1-F_b).  Since the
+    reference's dielectric transmits straight through (no refraction bend,
+    renderer/KernelHelpers.h:151-166), dispersion cannot split ray paths —
+    only reflectance varies per bin — so this is exact per-bin, not an
+    approximation, for every bundled material model.  Diffuse and mirror
+    lanes get weight 1.
+
+    ``ior_bins``: (S|C, N) per-bin material IoR (scene.mat_ior_bins
+    selected per lane); ``eta_out``: the arm's outside IoR — the tracked
+    ray IoR for bounce sampling, 1.0 for NEE evaluation (the reference's
+    eta quirk, renderer/KernelHelpers.h:74 vs :137).
+    """
+    f_h = fresnel(n, -w_i, eta_out, ior)                       # (N,)
+    f_b = fresnel(n, -w_i, eta_out, ior_bins)                  # (S|C, N)
+    take_second = (f_h < lobe_u)[None]
+    w_spec = f_b / jnp.maximum(f_h, 1e-6)[None]
+    w_sec = (1.0 - f_b) / jnp.maximum(1.0 - f_h, 1e-6)[None]
+    w = jnp.where(take_second, w_sec, w_spec)
+    has_fresnel_lobe = (
+        (mtype == MATERIAL_SMOOTH_PLASTIC) | (mtype == MATERIAL_SMOOTH_DIELECTRIC)
+    )[None]
+    return jnp.where(has_fresnel_lobe, w, 1.0)

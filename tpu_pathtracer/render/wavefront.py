@@ -438,6 +438,14 @@ def trace_bounce(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
     nee_contrib = nee_emit * m_diffuse * state.throughput * nee_scale[None]
+    if scene.mat_ior_bins is not None:
+        # dispersive fresnel (framework extension, scene.attach_dispersion):
+        # per-bin lobe reweighting around the scalar-fresnel lobe choice;
+        # NEE arm uses the reference's eta_out = 1.0 quirk
+        m_ior_bins = select_spectrum(scene.mat_ior_bins, mat, state.bins)
+        nee_contrib = nee_contrib * bsdf_lib.dispersion_weights(
+            m_type, m_ior, m_ior_bins, w_i, hn, lobe_u, 1.0
+        )
     shadow_origin = hp + hn * eps
 
     # ---- BSDF-arm MIS when the path hits an emitter ----
@@ -484,6 +492,11 @@ def trace_bounce(
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
     throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[None]
+    if scene.mat_ior_bins is not None:
+        # bounce arm: eta_out is the ray's tracked (hero/d-line) IoR
+        throughput_scale = throughput_scale * bsdf_lib.dispersion_weights(
+            m_type, m_ior, m_ior_bins, w_i, hn, lobe_u, state.ior
+        )
 
     new_state = PathState(
         origin=where3(valid, hp + hn * eps, state.origin),

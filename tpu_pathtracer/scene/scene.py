@@ -59,6 +59,10 @@ class Scene(NamedTuple):
     mat_tex: jnp.ndarray | None = None
     # (K, TH, TW, 3) RGB texture stack (all textures resampled to one size)
     textures: jnp.ndarray | None = None
+    # (S, M) per-wavelength-bin material IoR for dispersive fresnel
+    # (attach_dispersion); None = non-dispersive (reference behavior:
+    # one scalar IoR per material, renderer/Raytracing.h:101)
+    mat_ior_bins: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -206,3 +210,37 @@ def attach_env(
 def load_scene(path: str, samples: int = 3) -> Scene:
     """OBJ path -> device-ready Scene."""
     return build_scene(load_obj(path), samples=samples)
+
+
+def attach_dispersion(scene: Scene, b_um2: float, materials=None) -> Scene:
+    """Return ``scene`` with a per-wavelength-bin IoR table enabling
+    dispersive fresnel (framework extension; the reference's materials carry
+    one scalar IoR, renderer/Raytracing.h:101, and its dielectric transmits
+    straight through, so dispersion modulates per-bin REFLECTANCE, not ray
+    direction — see models/bsdf.py:dispersion_weights).
+
+    ``b_um2``: Cauchy B coefficient (um^2) applied to every material whose
+    fresnel participates in lobe selection (smooth plastic + smooth
+    dielectric), or only to ``materials`` (indices) when given.  The scalar
+    ``mat_ior`` stays the hero/d-line value, so lobe choices and tracked ray
+    IoR are unchanged; only per-bin throughput weights differ.
+    """
+    from ..core.spectrum import cauchy_ior_bins
+    from ..models.bsdf import MATERIAL_SMOOTH_DIELECTRIC, MATERIAL_SMOOTH_PLASTIC
+
+    samples = scene.mat_diffuse.shape[0]
+    m = scene.mat_ior.shape[0]
+    mtype = np.asarray(scene.mat_type)
+    ior = np.asarray(scene.mat_ior)
+    if materials is None:
+        sel = (mtype == MATERIAL_SMOOTH_PLASTIC) | (
+            mtype == MATERIAL_SMOOTH_DIELECTRIC
+        )
+    else:
+        sel = np.zeros(m, bool)
+        sel[np.asarray(materials)] = True
+    bins = np.repeat(ior[None, :], samples, axis=0).astype(np.float32)  # (S, M)
+    for j in range(m):
+        if sel[j]:
+            bins[:, j] = np.asarray(cauchy_ior_bins(float(ior[j]), b_um2, samples))
+    return scene._replace(mat_ior_bins=jnp.asarray(bins))
