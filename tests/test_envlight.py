@@ -152,3 +152,129 @@ def test_env_deterministic_and_mesh_invariant():
     a = render_frame_jit(init_state(16, 24), scene, cfg)
     b = render_frame_jit(init_state(16, 24), scene, cfg)
     np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+
+
+def _small_quad_scene(half=2.0):
+    """A small diffuse quad: below-horizon shadow rays escape past its edge."""
+    import tempfile
+
+    obj = f"""
+mtllib quad.mtl
+v -{half} 0 -{half}
+v  {half} 0 -{half}
+v  {half} 0  {half}
+v -{half} 0  {half}
+vn 0 1 0
+usemtl floor
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+"""
+    mtl = """
+newmtl floor
+Kd 0.5 0.5 0.5
+Ka 0 0 0
+Ks 1 0 0
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/quad.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/quad.mtl", "w") as fh:
+        fh.write(mtl)
+    return load_scene(f"{d}/quad.obj")
+
+
+def test_env_below_horizon_no_negative_radiance():
+    """Env radiance concentrated just BELOW the quad's horizon must add
+    exactly zero to the quad, never negative: below-horizon env NEE lanes
+    are cos-gated out of the estimator (the signed diffuse eval cos/pi < 0
+    would otherwise multiply a huge escaped-ray env sample)."""
+    img = 0.001 * np.ones((16, 32, 3), np.float32)
+    img[8, :] = 200.0  # hot band at cos(theta) in (-0.2, 0]: below horizon
+    lit = attach_env(_small_quad_scene(), img)
+    cfg = RenderConfig(
+        samples_per_frame=8, max_path_length=2, intersector="brute"
+    )
+    state = init_state(24, 32)
+    for _ in range(16):
+        state = render_frame_jit(state, lit, cfg)
+    out = np.asarray(state.accum)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0, out.min()
+
+
+def _big_light_scene():
+    """Diffuse floor under a LARGE close emissive ceiling: BSDF-bounce rays
+    hit the light often and its solid-angle pdf is comparable to the bsdf
+    pdf, so the BSDF-arm MIS weight materially shapes the image (the regime
+    where a selection-probability mismatch between the two arms shows)."""
+    import tempfile
+
+    obj = """
+mtllib biglight.mtl
+v -2 0 -2
+v  2 0 -2
+v  2 0  2
+v -2 0  2
+v -2 1.5 -2
+v  2 1.5 -2
+v  2 1.5  2
+v -2 1.5  2
+vn 0 1 0
+vn 0 -1 0
+usemtl floor
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+usemtl lamp
+f 5//2 7//2 6//2
+f 5//2 8//2 7//2
+"""
+    mtl = """
+newmtl floor
+Kd 0.5 0.5 0.5
+Ka 0 0 0
+Ks 1 0 0
+newmtl lamp
+Kd 0 0 0
+Ka 1 1 1
+Ks 1 0 0
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/biglight.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/biglight.mtl", "w") as fh:
+        fh.write(mtl)
+    return load_scene(f"{d}/biglight.obj")
+
+
+def test_env_select_p_invariance_with_area_lights():
+    """The unified {area, env} one-sample-MIS estimator must be invariant to
+    select_p: BOTH MIS arms carry the selection-scaled densities.  (A
+    BSDF-arm emit_lpdf missing its (1 - select_p) factor makes the two
+    weights sum below 1 and darkens area-light direct lighting by up to
+    ~17% at select_p=0.75 on this scene.)
+
+    Attaching a BLACK env must also reproduce the env-less image exactly.
+    Runs with reference_quirks=False: the reference's *pdf emitter quirk
+    (renderer/Shaders.metal:189) deliberately scales one MIS arm, so only
+    the quirk-free estimator is exactly selection-invariant."""
+    scene = _big_light_scene()
+    cfg = RenderConfig(
+        samples_per_frame=8, max_path_length=3, intersector="brute",
+        reference_quirks=False,
+    )
+
+    def run(sc, frames=96):
+        state = init_state(24, 32)
+        for _ in range(frames):
+            state = render_frame_jit(state, sc, cfg)
+        return np.asarray(state.accum)
+
+    base = run(scene)
+    black = np.full((8, 16, 3), 1e-9, np.float32)
+    for sp in (0.25, 0.75):
+        img = run(attach_env(scene, black, select_p=sp))
+        # floor rows carry all the area direct light; the old bug showed
+        # here as -4.5% (sp .25) to -17% (sp .75)
+        np.testing.assert_allclose(
+            img[-10:].mean(), base[-10:].mean(), rtol=0.004
+        )

@@ -92,14 +92,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-host", default="127.0.0.1",
                    help="viewer bind address (endpoints are unauthenticated; "
                         "use 0.0.0.0 to expose beyond loopback deliberately)")
+    p.add_argument("--platform", choices=("auto", "cpu", "tpu"),
+                   default="auto",
+                   help="pin the JAX platform (the config API, which wins "
+                        "over site hooks; 'cpu' gives a headless CPU render "
+                        "for CI or when no accelerator is reachable)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
-    if args.compile_cache and args.compile_cache != "off":
-        import jax
+    import jax
 
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache and args.compile_cache != "off":
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # reference: dispatch size = drawable size * CONTENT_SCALE

@@ -415,6 +415,13 @@ def trace_bounce(
             select_spectrum(scene.light_emissive, li, state.bins),
         )
         not_self = use_env | (target != tri)
+        # Below-horizon env samples can only contribute negative radiance
+        # through the signed diffuse eval (cos/pi < 0) — gate them out here.
+        # Area-light lanes keep the reference's ungated behavior (parity);
+        # this touches only the env extension.
+        not_self = not_self & (
+            jnp.logical_not(use_env) | (dot(nee_dir, hn) > 0.0)
+        )
         # env shadow rays are unbounded: any scene hit occludes
         shadow_cap = jnp.where(use_env, jnp.float32(1e30), dist + 4.0 * eps)
         # target -1 marks "visible iff nothing hit" (resolve_shadow)
@@ -465,6 +472,13 @@ def trace_bounce(
         / jnp.maximum(select_cols(scene.light_area, lts) * e_cos, 1e-30),
         0.0,
     )
+    if scene.env is not None:
+        # NEE reaches this emitter point with density light_pdf*(1 - select_p)
+        # under the unified {area, env} strategy above — the BSDF-arm MIS
+        # competitor must use the same scaled density or the pair of weights
+        # stops summing to 1 and direct light darkens (env arm already
+        # carries its select_p symmetrically).
+        emit_lpdf = emit_lpdf * (1.0 - scene.env.select_p)
     emit_lpdf = state.prev_diffuse * emit_lpdf
     emit_weight = balance_heuristic(state.pdf, emit_lpdf)
     emit_factor = emit_weight * (state.pdf if cfg.reference_quirks else 1.0)
