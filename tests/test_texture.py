@@ -118,7 +118,7 @@ def test_textured_scene_loads_and_modulates(tmp_path):
     img = np.asarray(state.accum)
     assert np.isfinite(img).all()
     # camera at (0,1,2.35) looking -z over the floor: left pixels see the
-    # red半 (u<0.5 -> x<0), right pixels the blue half
+    # red half (u<0.5 -> x<0), right pixels the blue half
     bottom = img[-10:]
     left, right = bottom[:, :12], bottom[:, -12:]
     assert left[..., 0].mean() > 5 * left[..., 2].mean() + 1e-6
@@ -137,3 +137,105 @@ def test_untextured_scenes_unchanged(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.accum), np.asarray(b.accum), atol=1e-6
     )
+
+
+def test_missing_texture_falls_back_untextured(tmp_path):
+    """A map_Kd pointing at a missing/undecodable file must warn and render
+    untextured, not make the scene unloadable (the reference ignores
+    textures entirely; renderer/Renderer.mm:365-369)."""
+    obj = """
+mtllib m.mtl
+v -2 0 -2
+v  2 0 -2
+v  2 0  2
+vt 0 0
+vt 1 0
+vt 1 1
+vn 0 1 0
+usemtl floor
+f 1/1/1 2/2/1 3/3/1
+"""
+    mtl = """
+newmtl floor
+Kd 0.5 0.5 0.5
+Ka 0 0 0
+Ks 1 0 0
+map_Kd does_not_exist.png
+"""
+    with open(tmp_path / "m.obj", "w") as fh:
+        fh.write(obj)
+    with open(tmp_path / "m.mtl", "w") as fh:
+        fh.write(mtl)
+    scene = load_scene(str(tmp_path / "m.obj"))
+    assert scene.textures is None and scene.mat_tex is None
+    # a corrupt PNG (wrong magic) must degrade the same way
+    with open(tmp_path / "bad.png", "wb") as fh:
+        fh.write(b"not a png at all")
+    with open(tmp_path / "m.mtl", "w") as fh:
+        fh.write(mtl.replace("does_not_exist.png", "bad.png"))
+    scene = load_scene(str(tmp_path / "m.obj"))
+    assert scene.textures is None and scene.mat_tex is None
+
+
+def _encode_png_with_filters(img_u8: np.ndarray, filters):
+    """Minimal PNG encoder applying a given filter type per row (test-only:
+    exercises every defilter branch of read_png against a known image)."""
+    import struct
+    import zlib
+
+    h, w, ch = img_u8.shape
+    assert len(filters) == h
+    rows = img_u8.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int32)
+    for r, ft in enumerate(filters):
+        cur = rows[r]
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        pleft = np.zeros_like(prev)
+        pleft[1:] = prev[:-1]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            pa = np.abs(prev - pleft)
+            pb = np.abs(left - pleft)
+            pc = np.abs(left + prev - 2 * pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, pleft))
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_read_png_all_filter_types(tmp_path):
+    """Decode correctness for every PNG filter type (0/Sub/Up/Average/Paeth),
+    including the vectorized Sub/Up paths and the bytearray Average/Paeth
+    recurrence."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 13, 3), np.uint8)
+    filters = [0, 1, 2, 3, 4] * 4
+    p = str(tmp_path / "filters.png")
+    with open(p, "wb") as fh:
+        fh.write(_encode_png_with_filters(img, filters))
+    got = read_png(p)
+    srgb = img.astype(np.float32) / 255.0
+    want = np.where(srgb <= 0.04045, srgb / 12.92,
+                    ((srgb + 0.055) / 1.055) ** 2.4)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)

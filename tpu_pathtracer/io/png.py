@@ -86,33 +86,47 @@ def read_png(path: str) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     stride = width * channels
     out = np.zeros((height, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
+    prev = np.zeros(stride, np.uint8)
     p = 0
     for r in range(height):
         ftype = raw[p]
-        line = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(np.int32)
+        line = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8)
         p += 1 + stride
         if ftype == 0:
             cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub, Average, Paeth need the left neighbor: scan per pixel
-            cur = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                elif ftype == 4:
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"{path}: bad filter {ftype}")
-                cur[i] = (line[i] + pred) & 0xFF
-        out[r] = cur.astype(np.uint8)
+        elif ftype == 2:  # Up: fully vectorized
+            cur = line + prev  # uint8 wraps mod 256, as PNG specifies
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            cur = np.empty(stride, np.uint8)
+            for c in range(channels):
+                cur[c::channels] = np.cumsum(
+                    line[c::channels], dtype=np.uint64
+                ).astype(np.uint8)
+        elif ftype in (3, 4):
+            # Average/Paeth have a left-neighbor recurrence: run it over a
+            # bytearray (C-speed element access; ~20x the numpy-scalar loop)
+            cur_b = bytearray(line.tobytes())
+            prev_b = prev.tobytes()
+            ch = channels
+            if ftype == 3:
+                for i in range(stride):
+                    a = cur_b[i - ch] if i >= ch else 0
+                    cur_b[i] = (cur_b[i] + ((a + prev_b[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cur_b[i - ch] if i >= ch else 0
+                    b = prev_b[i]
+                    c = prev_b[i - ch] if i >= ch else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                    cur_b[i] = (cur_b[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cur_b), np.uint8)
+        else:
+            raise ValueError(f"{path}: bad filter {ftype}")
+        out[r] = cur
         prev = cur
     img = out.reshape(height, width, channels)
     if color_type == 3:

@@ -120,28 +120,43 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
     tri_uv = mat_tex = textures = None
     tex_paths = [m.map_kd for m in mesh.materials]
     if mesh.texcoords is not None and any(tex_paths):
+        import logging
+
         from ..io.png import read_png
         from ..models.texture import resample_nearest
 
         images, tex_of_mat = [], {}
         for path in tex_paths:
             if path and path not in tex_of_mat:
+                # A missing or undecodable map_Kd must not make the scene
+                # unloadable (the reference ignores textures entirely;
+                # renderer/Renderer.mm:365-369) — warn and render untextured.
+                try:
+                    img = read_png(path)
+                except (OSError, ValueError) as e:
+                    logging.warning("map_Kd %s unusable (%s); material "
+                                    "renders untextured", path, e)
+                    tex_of_mat[path] = -1
+                    continue
                 tex_of_mat[path] = len(images)
-                images.append(read_png(path))
-        th = max(im.shape[0] for im in images)
-        tw = max(im.shape[1] for im in images)
-        stack = np.stack([
-            im if im.shape[:2] == (th, tw) else resample_nearest(im, th, tw)
-            for im in images
-        ])
-        mat_tex = jnp.asarray(
-            [tex_of_mat.get(p, -1) if p else -1 for p in tex_paths], jnp.int32
-        )
-        uv = mesh.texcoords  # (V, 2)
-        tri_uv = jnp.asarray(np.concatenate(
-            [uv[tris[:, k]] for k in range(3)], axis=1
-        ).T)  # (6, T): uv0.xy, uv1.xy, uv2.xy
-        textures = jnp.asarray(stack)
+                images.append(img)
+        if images:
+            th = max(im.shape[0] for im in images)
+            tw = max(im.shape[1] for im in images)
+            stack = np.stack([
+                im if im.shape[:2] == (th, tw)
+                else resample_nearest(im, th, tw)
+                for im in images
+            ])
+            mat_tex = jnp.asarray(
+                [tex_of_mat.get(p, -1) if p else -1 for p in tex_paths],
+                jnp.int32,
+            )
+            uv = mesh.texcoords  # (V, 2)
+            tri_uv = jnp.asarray(np.concatenate(
+                [uv[tris[:, k]] for k in range(3)], axis=1
+            ).T)  # (6, T): uv0.xy, uv1.xy, uv2.xy
+            textures = jnp.asarray(stack)
 
     # (rows, S) RGB table -> (S, rows) component-major spectrum table
     up = lambda rgb: spec.from_rgb(jnp.asarray(rgb, jnp.float32), samples).T
