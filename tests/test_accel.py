@@ -413,3 +413,42 @@ def test_candidate_sweep_kernels(scene_and_layout):
     )
     # random in-box rays at leaf4 are a worst case; just require coverage
     assert sel.mean() > 0.05
+
+
+def test_pallas_bw_far_from_origin():
+    """A scene translated 1e4..3e4 units from the world origin must keep the
+    origin-centered scene's t precision in the production BW path: the BW
+    plane constants are anchored at the scene-AABB center (accel/layout.py)
+    and evaluated at o - anchor in-kernel, so |n.o + d| cancellation stays
+    at scene-extent scale.  (Unanchored world-origin planes lose ~3 decimal
+    digits here and fail this gate.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene = load_scene(scene_path("cornellbox"))
+    shift = jnp.asarray([1.0e4, -2.0e4, 3.0e4], jnp.float32)[:, None]
+    far = scene._replace(
+        p0=scene.p0 + shift, p1=scene.p1 + shift, p2=scene.p2 + shift
+    )
+    lay = build_layout(far, leaf_size=4)
+    a = np.asarray(lay.anchor)
+    assert np.abs(a - np.asarray(shift)[:, 0]).max() < 5.0  # ~AABB center
+
+    o, d = _random_rays(512, key=9)
+    o = o + shift
+    hb = intersect_brute(o, d, far.p0, far.p1, far.p2)
+    tb = np.asarray(hb.t)
+    # the production BW window path (unanchored world-origin planes measure
+    # rel t errors up to ~1e2 on this scene) and the MT v1 path
+    with pltpu.force_tpu_interpret_mode():
+        hw = pt.intersect_bvh_window(o, d, lay, tile=128, tritest="bw")
+        hv = pt.intersect_bvh_pallas(o, d, lay, tile=128)
+    for hs in (hw, hv):
+        tp_ = np.asarray(hs.t)
+        assert (np.isfinite(tb) == np.isfinite(tp_)).all()
+        both = np.isfinite(tb)
+        # same tolerance band the origin-centered gates use
+        np.testing.assert_allclose(tb[both], tp_[both], rtol=2e-4)
+        agree = (np.asarray(hb.tri)[both] == np.asarray(hs.tri)[both]).mean()
+        assert agree > 0.98

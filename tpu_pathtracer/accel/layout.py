@@ -63,8 +63,13 @@ class BVHLayout(NamedTuple):
     # hit test becomes three plane evaluations (t = -(n0.o+d0)/(n0.d),
     # u = n1.p+d1, v = n2.p+d2 at p = o+t*d), ~20% fewer vector ops per
     # tested row than Moller-Trumbore and no cross products in the hot loop.
+    # Plane constants are ANCHORED at the scene-AABB center (``anchor``):
+    # the kernel evaluates them at o - anchor, keeping |n.o + d| cancellation
+    # at scene-extent scale even for scenes far from the world origin (the
+    # MT form is translation-invariant and needs no anchor).
     tris8bw: jnp.ndarray         # (T8, 16) float32
     prepassbw: jnp.ndarray       # (PREPASS_MAX, 16) f32, col 12 = row index
+    anchor: tuple                # (ax, ay, az) floats the BW planes are built about
 
     # leaf-box tables for the EXPERIMENTAL candidate-sweep kernels
     # (scripts/experimental_pallas_sweep.py; measured net-negative in prod):
@@ -228,13 +233,24 @@ def dfs_layout(
     tris8[: num_tris + 1] = tris
 
     # ---- Baldwin-Weber plane rows (same indexing as tris8) ----
+    # Anchor the plane constants at the scene-AABB center: d = -(n . (p0-a))
+    # evaluated at (o - a) keeps the n.o + d cancellation at scene-extent
+    # scale, so a scene translated far from the world origin loses no t
+    # precision vs the translation-invariant MT form.
+    if num_tris:
+        vmin = np.minimum(np.minimum(p0.min(1), p1.min(1)), p2.min(1))
+        vmax = np.maximum(np.maximum(p0.max(1), p1.max(1)), p2.max(1))
+        anchor = ((vmin + vmax) * 0.5).astype(np.float32)
+    else:
+        anchor = np.zeros(3, np.float32)
+
     def bw_rows(tri_rows: np.ndarray, leaf_col: np.ndarray) -> np.ndarray:
         """(R, 24) MT rows -> (R, 16) BW rows [n0 d0 n1 d1 n2 d2 leaf pad3].
 
         Degenerate rows (zero normal) produce all-zero planes: den == 0 is
         the kernel's reject test, exactly like det == 0 in MT.
         """
-        p0r = tri_rows[:, 0:3].astype(np.float64)
+        p0r = tri_rows[:, 0:3].astype(np.float64) - anchor.astype(np.float64)
         e1r = tri_rows[:, 3:6].astype(np.float64)
         e2r = tri_rows[:, 6:9].astype(np.float64)
         n = np.cross(e1r, e2r)
@@ -294,6 +310,7 @@ def dfs_layout(
         tris8=jnp.asarray(tris8),
         tris8bw=jnp.asarray(tris8bw),
         prepassbw=jnp.asarray(prepassbw),
+        anchor=tuple(float(a) for a in anchor),
         leafbox=jnp.asarray(leafbox),
         leafmeta=jnp.asarray(leafmeta),
         num_leaves=num_leaves,

@@ -743,6 +743,7 @@ def _window_kernel(
     mtblock: int = 8,
     latch: str = "argmin",
     tritest: str = "bw",
+    anchor: tuple = (0.0, 0.0, 0.0),
     mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
 ):
     if n_prepass:
@@ -758,7 +759,13 @@ def _window_kernel(
     act = rays_ref[6, :] > 0.0
     t_max = rays_ref[7, :]
     ix, iy, iz = safe_inverse(dx, dy, dz)
-    oxyz = (ox, oy, oz)
+    if tritest == "bw" and anchor != (0.0, 0.0, 0.0):
+        # BW plane constants are anchored at the scene-AABB center
+        # (accel/layout.py bw_rows); evaluate them at o - anchor.  One
+        # subtraction per tile — the slab tests and MT rows stay world-space.
+        oxyz = (ox - anchor[0], oy - anchor[1], oz - anchor[2])
+    else:
+        oxyz = (ox, oy, oz)
     dxyz = (dx, dy, dz)
 
     tile = ox.shape[0]
@@ -930,6 +937,7 @@ def intersect_bvh_window(
         mtblock=mtblock,
         latch=latch,
         tritest=tritest,
+        anchor=getattr(lay, "anchor", (0.0, 0.0, 0.0)),
         mt_off=mt_off,
     )
     in_specs = [
