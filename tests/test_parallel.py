@@ -1,6 +1,8 @@
 """Multi-chip sharding on the 8-device virtual CPU mesh: the distributed render
 must be bit-identical (up to psum float rounding) to single-chip."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -43,6 +45,28 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_fresh_process():
+    """Run the dryrun the way the DRIVER does: a fresh Python process with no
+    conftest/env preparation, where the container site hook may register a
+    real accelerator plugin.  Rounds 1-2 failed exactly here (the in-process
+    test passed while the driver artifact was red): _provision_devices must
+    pin the CPU platform before ANY device query so a broken/absent TPU
+    relay can neither crash nor hang the dryrun."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('OK')"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
 
 
 def test_graft_entry_compiles():
