@@ -30,7 +30,34 @@ from tpu_pathtracer.renderer import Renderer  # noqa: E402
 BASELINE_MRAYS = 100.0
 
 
+def _device_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail loudly if backend init hangs (an unreachable TPU relay blocks
+    ``jax.devices()`` forever — a bounded error JSON beats an infinite hang
+    for whoever is collecting the bench line)."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "traced_mrays_per_sec_per_chip_1080p_1spp",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": f"device init exceeded {timeout_s:.0f}s "
+                         "(TPU relay unreachable?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()  # blocks here, not mid-benchmark, if the relay is wedged
+    done.set()
+
+
 def main() -> None:
+    _device_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="CornellBox-Water-plastic",
                     help="bench scene (default: the Cornell-box-with-mesh)")
