@@ -72,10 +72,20 @@ def test_pdf_integrates_to_one():
     np.testing.assert_allclose(total, 1.0, rtol=1e-5)
 
 
-def _furnace_scene():
-    """A single diffuse floor quad, no area lights, under a constant env."""
+def _obj_scene(obj: str, mtl: str, name: str):
+    """Write an OBJ/MTL pair to a temp dir and load it (test scene builder)."""
     import tempfile
 
+    d = tempfile.mkdtemp()
+    with open(f"{d}/{name}.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/{name}.mtl", "w") as fh:
+        fh.write(mtl)
+    return load_scene(f"{d}/{name}.obj")
+
+
+def _furnace_scene():
+    """A single diffuse floor quad, no area lights, under a constant env."""
     obj = """
 mtllib furnace.mtl
 v -50 0 -50
@@ -93,12 +103,7 @@ Kd 0.5 0.5 0.5
 Ka 0 0 0
 Ks 1 0 0
 """
-    d = tempfile.mkdtemp()
-    with open(f"{d}/furnace.obj", "w") as fh:
-        fh.write(obj)
-    with open(f"{d}/furnace.mtl", "w") as fh:
-        fh.write(mtl)
-    return load_scene(f"{d}/furnace.obj")
+    return _obj_scene(obj, mtl, "furnace")
 
 
 @pytest.mark.parametrize("quirks", [True, False])
@@ -156,8 +161,6 @@ def test_env_deterministic_and_mesh_invariant():
 
 def _small_quad_scene(half=2.0):
     """A small diffuse quad: below-horizon shadow rays escape past its edge."""
-    import tempfile
-
     obj = f"""
 mtllib quad.mtl
 v -{half} 0 -{half}
@@ -175,12 +178,7 @@ Kd 0.5 0.5 0.5
 Ka 0 0 0
 Ks 1 0 0
 """
-    d = tempfile.mkdtemp()
-    with open(f"{d}/quad.obj", "w") as fh:
-        fh.write(obj)
-    with open(f"{d}/quad.mtl", "w") as fh:
-        fh.write(mtl)
-    return load_scene(f"{d}/quad.obj")
+    return _obj_scene(obj, mtl, "quad")
 
 
 def test_env_below_horizon_no_negative_radiance():
@@ -207,8 +205,6 @@ def _big_light_scene():
     hit the light often and its solid-angle pdf is comparable to the bsdf
     pdf, so the BSDF-arm MIS weight materially shapes the image (the regime
     where a selection-probability mismatch between the two arms shows)."""
-    import tempfile
-
     obj = """
 mtllib biglight.mtl
 v -2 0 -2
@@ -238,12 +234,7 @@ Kd 0 0 0
 Ka 1 1 1
 Ks 1 0 0
 """
-    d = tempfile.mkdtemp()
-    with open(f"{d}/biglight.obj", "w") as fh:
-        fh.write(obj)
-    with open(f"{d}/biglight.mtl", "w") as fh:
-        fh.write(mtl)
-    return load_scene(f"{d}/biglight.obj")
+    return _obj_scene(obj, mtl, "biglight")
 
 
 def test_env_select_p_invariance_with_area_lights():

@@ -123,7 +123,7 @@ def read_png(path: str) -> np.ndarray:
                     pred = a if pa <= pb and pa <= pc else \
                         (b if pb <= pc else c)
                     cur_b[i] = (cur_b[i] + pred) & 0xFF
-            cur = np.frombuffer(bytes(cur_b), np.uint8)
+            cur = np.frombuffer(cur_b, np.uint8)  # cur_b is never reused
         else:
             raise ValueError(f"{path}: bad filter {ftype}")
         out[r] = cur

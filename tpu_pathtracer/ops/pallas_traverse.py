@@ -937,7 +937,7 @@ def intersect_bvh_window(
         mtblock=mtblock,
         latch=latch,
         tritest=tritest,
-        anchor=getattr(lay, "anchor", (0.0, 0.0, 0.0)),
+        anchor=lay.anchor,
         mt_off=mt_off,
     )
     in_specs = [
