@@ -146,3 +146,35 @@ def test_checkpoint_resume_orbax(tmp_path):
     assert r2.frame_index == 2
     r2.run(2)
     np.testing.assert_array_equal(r2.image(), after4)
+
+
+def test_checkpoint_orbax_sharded_accumulator(tmp_path):
+    """Orbax saves a MESH-SHARDED accumulator without a host gather and
+    restores it into a fresh (unsharded) state bit-exactly — the multi-host
+    checkpoint story (parallel/multihost.py) in miniature on the virtual
+    8-device CPU mesh."""
+    pytest.importorskip("orbax.checkpoint")
+    from tpu_pathtracer.io.checkpoint import load_checkpoint, save_checkpoint
+    from tpu_pathtracer.parallel.tiles import make_mesh, shard_state
+    from tpu_pathtracer.render import init_state
+
+    mesh = make_mesh(8, 1)
+    state = init_state(32, 16)
+    state = state._replace(
+        accum=state.accum + np.arange(32, dtype=np.float32)[:, None, None],
+        frame_index=state.frame_index + 7,
+    )
+    sharded = shard_state(state, mesh)
+    assert len(sharded.accum.sharding.device_set) == 8
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, sharded)
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(back.accum),
+                                  np.asarray(state.accum))
+    assert int(back.frame_index) == 7
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(back.key)),
+        np.asarray(jax.random.key_data(state.key)),
+    )
