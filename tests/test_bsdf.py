@@ -69,7 +69,7 @@ def test_eval_dielectric_transmission_is_zero():
 
 def test_sample_bounce_mirror():
     w_i = jnp.array([[1.0], [0.0], [-1.0]]) / np.sqrt(2.0)
-    w_o, b, p, ior = bsdf.sample_bounce(
+    w_o, b, p, ior, _ = bsdf.sample_bounce(
         jnp.int32(bsdf.MATERIAL_MIRROR), jnp.float32(0.0), w_i, N_UP,
         jnp.float32(0.5), jnp.array([[0.3], [0.7]]), jnp.float32(1.00029),
     )
@@ -82,7 +82,7 @@ def test_sample_bounce_mirror():
 def test_sample_bounce_dielectric_transmission_passes_straight_through():
     w_i = jnp.array([[0.0], [0.6], [-0.8]])
     # lobe_u = 1.0 > fresnel -> transmit
-    w_o, b, p, ior = bsdf.sample_bounce(
+    w_o, b, p, ior, _ = bsdf.sample_bounce(
         jnp.int32(bsdf.MATERIAL_SMOOTH_DIELECTRIC), jnp.float32(1.5), w_i, N_UP,
         jnp.float32(1.0), jnp.array([[0.3], [0.7]]), jnp.float32(1.00029),
     )
@@ -94,14 +94,14 @@ def test_sample_bounce_dielectric_transmission_passes_straight_through():
 def test_sample_bounce_plastic_lobes():
     w_i = jnp.array([[0.0], [0.0], [-1.0]])
     # fresnel at normal incidence for ior 1.5 is ~0.04: u=0.5 -> diffuse lobe
-    w_o, b, p, _ = bsdf.sample_bounce(
+    w_o, b, p, _, _ = bsdf.sample_bounce(
         jnp.int32(bsdf.MATERIAL_SMOOTH_PLASTIC), jnp.float32(1.5), w_i, N_UP,
         jnp.float32(0.5), jnp.array([[0.3], [0.7]]), jnp.float32(1.0),
     )
     assert float(w_o[2, 0]) > 0.0  # upper hemisphere
     assert np.isclose(float(b[0]), float(w_o[2, 0]) / PI, rtol=1e-5)
     # u=0.01 < fresnel -> specular lobe
-    w_o2, b2, p2, _ = bsdf.sample_bounce(
+    w_o2, b2, p2, _, _ = bsdf.sample_bounce(
         jnp.int32(bsdf.MATERIAL_SMOOTH_PLASTIC), jnp.float32(1.5), w_i, N_UP,
         jnp.float32(0.01), jnp.array([[0.3], [0.7]]), jnp.float32(1.0),
     )

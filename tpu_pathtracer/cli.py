@@ -58,6 +58,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
                                  "the scene with (NEE/MIS importance-sampled)")
     p.add_argument("--env-strength", type=float, default=1.0)
+    p.add_argument("--rough-materials", action="store_true",
+                   help="classify MTL roughness in (0,1) to the GGX "
+                        "extension materials (rough conductor/plastic/"
+                        "dielectric — the reference's TODO stubs fall back "
+                        "to diffuse)")
     p.add_argument("--dispersion", type=float, default=None, metavar="B_UM2",
                    help="Cauchy B (um^2) for dispersive fresnel on plastic/"
                         "dielectric materials (use with --spectrum > 3; "
@@ -131,10 +136,11 @@ def main(argv=None) -> int:
         hero_wavelengths=args.hero,
     )
     scene = args.scene
-    if args.env or args.dispersion is not None:
+    if args.env or args.dispersion is not None or args.rough_materials:
         from .scene import attach_dispersion, attach_env, load_scene, scene_path
 
-        scene = load_scene(scene_path(args.scene), samples=cfg.spectrum_samples)
+        scene = load_scene(scene_path(args.scene), samples=cfg.spectrum_samples,
+                           rough_materials=args.rough_materials)
         if args.env:
             scene = attach_env(scene, args.env, strength=args.env_strength,
                                rotation=args.env_rotation)

@@ -30,9 +30,19 @@ MATERIAL_DIFFUSE = 0
 MATERIAL_MIRROR = 1
 MATERIAL_SMOOTH_PLASTIC = 2
 MATERIAL_SMOOTH_DIELECTRIC = 3
-MATERIAL_COUNT = 4
+# Extension types: the reference's explicit TODO materials
+# (reference: renderer/Renderer.mm:305,315,319), GGX-backed (models/ggx.py).
+# Only classified when load_scene(..., rough_materials=True); the parity
+# default falls back to DIFFUSE exactly like the reference.
+MATERIAL_ROUGH_CONDUCTOR = 4
+MATERIAL_ROUGH_PLASTIC = 5
+MATERIAL_ROUGH_DIELECTRIC = 6
+MATERIAL_COUNT = 7
 
-MATERIAL_NAMES = ("diffuse", "mirror", "smooth plastic", "smooth dielectric")
+MATERIAL_NAMES = (
+    "diffuse", "mirror", "smooth plastic", "smooth dielectric",
+    "rough conductor", "rough plastic", "rough dielectric",
+)
 
 
 def fresnel(n, i, eta_out, eta_in):
@@ -59,7 +69,8 @@ def _is_mirror_direction(w_i, w_o, n, angle_epsilon):
     return jnp.abs(dot(reflect(w_i, n), w_o) - 1.0) < angle_epsilon
 
 
-def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon):
+def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon,
+                  roughness=None):
     """NEE-side material evaluation -> (bsdf, pdf), all batches (N,)-shaped
     with (3, N) direction/normal arrays.
 
@@ -87,12 +98,36 @@ def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon):
     pdf = _select4(
         mtype, diffuse_val, jnp.ones_like(diffuse_val), plastic_pdf, dielectric_pdf
     )
+    if roughness is None:
+        return bsdf, pdf
+    # GGX extension lobes (scalar F = 1; spectral conductor Fresnel is a
+    # wavefront-side throughput factor). Rough plastic/dielectric keep the
+    # smooth models' scalar-fresnel lobe CHOICE; the specular arm swaps the
+    # delta mirror for the GGX lobe.
+    from . import ggx
+
+    gfcos, gpdf, _ = ggx.eval_lobe(w_i, w_o, n, roughness * roughness)
+    r_pl_bsdf = jnp.where(take_second_lobe, diffuse_val, gfcos)
+    r_pl_pdf = jnp.where(take_second_lobe, diffuse_val, gpdf)
+    r_di_bsdf = jnp.where(take_second_lobe, 0.0, gfcos)
+    r_di_pdf = jnp.where(take_second_lobe, 0.0, gpdf)
+    bsdf = _select_rough(mtype, bsdf, gfcos, r_pl_bsdf, r_di_bsdf)
+    pdf = _select_rough(mtype, pdf, gpdf, r_pl_pdf, r_di_pdf)
     return bsdf, pdf
 
 
 def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
-                  quirks: bool = True):
-    """Sample the next bounce direction -> (w_o, bsdf, pdf, new_ior).
+                  quirks: bool = True, roughness=None):
+    """Sample the next bounce direction
+    -> (w_o, bsdf, pdf, new_ior, finite_pdf).
+
+    ``finite_pdf`` is the flag the emitter-hit MIS arm keys on (the
+    reference's params.y "previous bounce was diffuse",
+    renderer/Shaders.metal:189): for the four parity materials it is
+    exactly the reference's material-level rule (mtype == DIFFUSE); for the
+    GGX extension lobes it is per-LOBE — any arm with a finite sampling
+    density sets it (a GGX bounce that hits a light must MIS-weight against
+    NEE or direct light double-counts).
 
     Equivalent of ``generateNextBounce`` (reference:
     renderer/KernelHelpers.h:116-179).  ``dir_u`` is (2, N) — the reference's
@@ -134,7 +169,41 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
     bsdf = _select4(mtype, diffuse_val, mirror_cos, plastic_bsdf, dielectric_bsdf)
     pdf = _select4(mtype, diffuse_val, one, plastic_pdf, dielectric_pdf)
     new_ior = _select4(mtype, current_ior, current_ior, current_ior, dielectric_ior)
-    return w_o, bsdf, pdf, new_ior
+    finite_pdf = (mtype == MATERIAL_DIFFUSE).astype(jnp.float32)
+    if roughness is None:
+        return w_o, bsdf, pdf, new_ior, finite_pdf
+
+    from . import ggx
+
+    g_dir, g_wgt, g_pdf, _ = ggx.sample_lobe(
+        w_i, n, roughness * roughness, dir_u
+    )
+    # house convention (same as diffuse): bsdf = f*cos, pdf = the sampling
+    # density — the ratio is the throughput weight AND pdf is the MIS
+    # density the emitter-hit arm needs.  f*cos = weight * pdf (F = 1;
+    # spectral conductor Fresnel lands wavefront-side).
+    g_fcos = g_wgt * g_pdf
+    r_pl_dir = jnp.where(tsl3, diffuse_dir, g_dir)
+    r_pl_bsdf = jnp.where(take_second_lobe, diffuse_val, g_fcos)
+    r_pl_pdf = jnp.where(take_second_lobe, diffuse_val, g_pdf)
+    r_di_dir = jnp.where(tsl3, w_i, g_dir)
+    r_di_bsdf = jnp.where(take_second_lobe, 1.0, g_fcos)
+    r_di_pdf = jnp.where(take_second_lobe, 1.0, g_pdf)
+
+    w_o = _select_rough(mtype[None], w_o, g_dir, r_pl_dir, r_di_dir)
+    bsdf = _select_rough(mtype, bsdf, g_fcos, r_pl_bsdf, r_di_bsdf)
+    pdf = _select_rough(mtype, pdf, g_pdf, r_pl_pdf, r_di_pdf)
+    new_ior = _select_rough(
+        mtype, new_ior, current_ior, current_ior, dielectric_ior
+    )
+    finite = _select_rough(
+        mtype,
+        finite_pdf,
+        jnp.ones_like(finite_pdf),
+        jnp.ones_like(finite_pdf),
+        jnp.where(take_second_lobe, 0.0, 1.0),
+    )
+    return w_o, bsdf, pdf, new_ior, finite
 
 
 def _select4(mtype, v_diffuse, v_mirror, v_plastic, v_dielectric):
@@ -145,6 +214,20 @@ def _select4(mtype, v_diffuse, v_mirror, v_plastic, v_dielectric):
             mtype == MATERIAL_MIRROR,
             v_mirror,
             jnp.where(mtype == MATERIAL_SMOOTH_PLASTIC, v_plastic, v_dielectric),
+        ),
+    )
+
+
+def _select_rough(mtype, v_parity, v_conductor, v_rplastic, v_rdielectric):
+    """Layer the GGX extension types over the parity _select4 result."""
+    return jnp.where(
+        mtype == MATERIAL_ROUGH_CONDUCTOR,
+        v_conductor,
+        jnp.where(
+            mtype == MATERIAL_ROUGH_PLASTIC,
+            v_rplastic,
+            jnp.where(mtype == MATERIAL_ROUGH_DIELECTRIC,
+                      v_rdielectric, v_parity),
         ),
     )
 
@@ -176,6 +259,9 @@ def dispersion_weights(mtype, ior, ior_bins, w_i, n, lobe_u, eta_out):
     w_sec = (1.0 - f_b) / jnp.maximum(1.0 - f_h, 1e-6)[None]
     w = jnp.where(take_second, w_sec, w_spec)
     has_fresnel_lobe = (
-        (mtype == MATERIAL_SMOOTH_PLASTIC) | (mtype == MATERIAL_SMOOTH_DIELECTRIC)
+        (mtype == MATERIAL_SMOOTH_PLASTIC)
+        | (mtype == MATERIAL_SMOOTH_DIELECTRIC)
+        | (mtype == MATERIAL_ROUGH_PLASTIC)
+        | (mtype == MATERIAL_ROUGH_DIELECTRIC)
     )[None]
     return jnp.where(has_fresnel_lobe, w, 1.0)

@@ -366,6 +366,10 @@ def trace_bounce(
     m_emissive = select_spectrum(scene.mat_emissive, mat, state.bins)
     m_ior = select_cols(scene.mat_ior, mat)
     m_type = select_cols(scene.mat_type, mat)
+    # GGX extension types (rough conductor/plastic/dielectric — the
+    # reference's TODO materials); None keeps the parity math untouched
+    m_rough = (select_cols(scene.mat_roughness, mat)
+               if scene.mat_roughness is not None else None)
 
     hp, hn = hit.pos, hit.normal
 
@@ -432,7 +436,7 @@ def trace_bounce(
         not_self = target != tri
         shadow_cap = dist + 4.0 * eps
     nee_bsdf, nee_mpdf = bsdf_lib.eval_material(
-        m_type, m_ior, w_i, nee_dir, hn, lobe_u, aeps
+        m_type, m_ior, w_i, nee_dir, hn, lobe_u, aeps, roughness=m_rough
     )
     nee_weight = balance_heuristic(light_pdf, nee_mpdf)
     light_ok = (
@@ -444,7 +448,20 @@ def trace_bounce(
     nee_scale = jnp.where(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
-    nee_contrib = nee_emit * m_diffuse * state.throughput * nee_scale[None]
+    nee_albedo = m_diffuse
+    if m_rough is not None:
+        # rough-conductor lanes: the spectral factor is Schlick Fresnel at
+        # the half-vector (F0 = Kd), REPLACING the albedo (the GGX lobe in
+        # bsdf.py is evaluated with F = 1)
+        from ..models import ggx
+
+        is_rc = (m_type == bsdf_lib.MATERIAL_ROUGH_CONDUCTOR)[None]
+        hv = nee_dir - w_i  # v + l with v = -w_i
+        hlen = jnp.sqrt(jnp.maximum(dot(hv, hv), 1e-12))
+        cos_vm = jnp.clip(-dot(w_i, hv) / hlen, 0.0, 1.0)
+        nee_albedo = jnp.where(is_rc, ggx.schlick(m_diffuse, cos_vm),
+                               m_diffuse)
+    nee_contrib = nee_emit * nee_albedo * state.throughput * nee_scale[None]
     if scene.mat_ior_bins is not None:
         # dispersive fresnel (framework extension, scene.attach_dispersion):
         # per-bin lobe reweighting around the scalar-fresnel lobe choice;
@@ -500,12 +517,21 @@ def trace_bounce(
         )
 
     # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
-    w_o, nb_bsdf, nb_pdf, nb_ior = bsdf_lib.sample_bounce(
+    w_o, nb_bsdf, nb_pdf, nb_ior, nb_finite = bsdf_lib.sample_bounce(
         m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior,
-        quirks=cfg.reference_quirks,
+        quirks=cfg.reference_quirks, roughness=m_rough,
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
-    throughput_scale = m_diffuse * (nb_bsdf / safe_pdf)[None]
+    bounce_albedo = m_diffuse
+    if m_rough is not None:
+        from ..models import ggx
+
+        hv_b = w_o - w_i
+        hlen_b = jnp.sqrt(jnp.maximum(dot(hv_b, hv_b), 1e-12))
+        cos_vm_b = jnp.clip(-dot(w_i, hv_b) / hlen_b, 0.0, 1.0)
+        bounce_albedo = jnp.where(is_rc, ggx.schlick(m_diffuse, cos_vm_b),
+                                  m_diffuse)
+    throughput_scale = bounce_albedo * (nb_bsdf / safe_pdf)[None]
     if scene.mat_ior_bins is not None:
         # bounce arm: eta_out is the ray's tracked (hero/d-line) IoR
         throughput_scale = throughput_scale * bsdf_lib.dispersion_weights(
@@ -519,10 +545,9 @@ def trace_bounce(
                           state.throughput),
         radiance=state.radiance + emit_contrib,
         pdf=jnp.where(valid, nb_pdf, state.pdf),
-        prev_diffuse=jnp.where(
-            valid, (m_type == bsdf_lib.MATERIAL_DIFFUSE).astype(jnp.float32),
-            state.prev_diffuse,
-        ),
+        # "previous lobe has a finite sampling density" — the emitter-hit
+        # MIS gate (reference's params.y; per-lobe for the GGX extensions)
+        prev_diffuse=jnp.where(valid, nb_finite, state.prev_diffuse),
         ior=jnp.where(valid, nb_ior, state.ior),
         alive=valid,
         pixel=state.pixel,

@@ -63,6 +63,11 @@ class Scene(NamedTuple):
     # (attach_dispersion); None = non-dispersive (reference behavior:
     # one scalar IoR per material, renderer/Raytracing.h:101)
     mat_ior_bins: jnp.ndarray | None = None
+    # (M,) material roughness, present only when the scene opted into the
+    # GGX extension types (load_scene(..., rough_materials=True)); None =
+    # parity behavior (the reference leaves its rough TODO materials as
+    # diffuse, renderer/Renderer.mm:305,315,319)
+    mat_roughness: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -73,8 +78,10 @@ class Scene(NamedTuple):
         return self.light_area.shape[0] - 1
 
 
-def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
-    mats: MaterialTable = classify(mesh.materials)
+def build_scene(mesh: ObjMesh, samples: int = 3,
+                rough_materials: bool = False) -> Scene:
+    mats: MaterialTable = classify(mesh.materials,
+                                   rough_materials=rough_materials)
 
     tris = mesh.triangles.astype(np.int64)
     pos, nrm = mesh.positions, mesh.normals
@@ -182,6 +189,12 @@ def build_scene(mesh: ObjMesh, samples: int = 3) -> Scene:
         tri_uv=tri_uv,
         mat_tex=mat_tex,
         textures=textures,
+        # present only when a GGX extension type was actually classified,
+        # so parity scenes keep the parity jit treedef (and zero extra math)
+        mat_roughness=(
+            jnp.asarray(mats.roughness)
+            if rough_materials and (mats.mtype >= 4).any() else None
+        ),
     )
 
 
@@ -222,9 +235,15 @@ def attach_env(
     return scene._replace(env=env)
 
 
-def load_scene(path: str, samples: int = 3) -> Scene:
-    """OBJ path -> device-ready Scene."""
-    return build_scene(load_obj(path), samples=samples)
+def load_scene(path: str, samples: int = 3,
+               rough_materials: bool = False) -> Scene:
+    """OBJ path -> device-ready Scene.
+
+    ``rough_materials=True`` opts into the GGX extension types for MTL
+    records the reference stubs as TODO (rough conductor / plastic /
+    dielectric); the default keeps the reference's diffuse fallback."""
+    return build_scene(load_obj(path), samples=samples,
+                       rough_materials=rough_materials)
 
 
 def attach_dispersion(scene: Scene, b_um2: float, materials=None) -> Scene:
