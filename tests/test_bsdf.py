@@ -107,3 +107,143 @@ def test_sample_bounce_plastic_lobes():
     )
     assert np.allclose(np.asarray(w_o2), np.asarray(reflect(w_i, N_UP)), atol=1e-6)
     assert float(p2[0]) == 1.0
+
+
+def test_refract_dielectric_snell_and_tir():
+    """cfg.refract_dielectric extension: transmission obeys Snell's law with
+    two-sided normals; beyond the critical angle the oriented fresnel hits 1
+    and every lane reflects (TIR)."""
+    import jax
+
+    n = jnp.zeros((3, 256)).at[1].set(1.0)
+    # 45-degree incidence from air into ior 1.5
+    w_i = jnp.zeros((3, 256)).at[0].set(np.sqrt(0.5)).at[1].set(-np.sqrt(0.5))
+    mtype = jnp.full((256,), bsdf.MATERIAL_SMOOTH_DIELECTRIC, jnp.int32)
+    ior = jnp.full((256,), 1.5)
+    cur = jnp.ones((256,))
+    lobe_u = jax.random.uniform(jax.random.PRNGKey(0), (256,))
+    dir_u = jax.random.uniform(jax.random.PRNGKey(1), (2, 256))
+    w_o, b, p, new_ior, _ = bsdf.sample_bounce(
+        mtype, ior, w_i, n, lobe_u, dir_u, cur, refract=True
+    )
+    f = bsdf.fresnel(n, -w_i, cur, ior)
+    trans = np.asarray(f < lobe_u)
+    # Snell: sin_t = sin(45)/1.5, going down (-y), bending toward the normal
+    sin_t = np.sqrt(0.5) / 1.5
+    wo = np.asarray(w_o)
+    np.testing.assert_allclose(wo[0, trans], sin_t, atol=1e-6)
+    np.testing.assert_allclose(wo[1, trans], -np.sqrt(1 - sin_t**2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_ior)[trans], 1.5)
+    # radiance scale (eta_i/eta_t)^2
+    np.testing.assert_allclose(np.asarray(b)[trans], (1 / 1.5) ** 2, rtol=1e-6)
+    # TIR: from INSIDE (cur = 1.5 -> air) at 60 degrees > critical (~41.8)
+    w_i2 = jnp.zeros((3, 256)).at[0].set(np.sqrt(3) / 2).at[1].set(0.5)
+    cur2 = jnp.full((256,), 1.5)
+    w_o2, b2, _, ior2, _ = bsdf.sample_bounce(
+        mtype, ior, w_i2, n, lobe_u, dir_u, cur2, refract=True, quirks=False
+    )
+    wo2 = np.asarray(w_o2)
+    # every lane reflects off the flipped normal: y component flips sign
+    np.testing.assert_allclose(wo2[0], np.sqrt(3) / 2, atol=1e-6)
+    np.testing.assert_allclose(wo2[1], -0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2), 1.0)
+    np.testing.assert_allclose(np.asarray(ior2), 1.5)  # still inside
+    assert np.isfinite(wo2).all()
+
+
+def test_refract_slab_roundtrip_identity():
+    """Enter + exit a parallel slab at normal incidence: direction restored
+    and the two (eta_i/eta_t)^2 radiance scales cancel exactly."""
+    import jax
+
+    n = jnp.zeros((3, 8)).at[1].set(1.0)
+    w_i = jnp.zeros((3, 8)).at[1].set(-1.0)  # straight down into the slab
+    mtype = jnp.full((8,), bsdf.MATERIAL_SMOOTH_DIELECTRIC, jnp.int32)
+    ior = jnp.full((8,), 1.5)
+    lobe_u = jnp.ones((8,))  # always take the transmission arm (F < 1)
+    dir_u = jnp.zeros((2, 8))
+    w1, b1, _, ior1, _ = bsdf.sample_bounce(
+        mtype, ior, w_i, n, lobe_u, dir_u, jnp.ones((8,)), refract=True
+    )
+    # exit through the bottom face (outward normal -y; ray still going down)
+    n2 = jnp.zeros((3, 8)).at[1].set(-1.0)
+    w2, b2, _, ior2, _ = bsdf.sample_bounce(
+        mtype, ior, w1, n2, lobe_u, dir_u, ior1, refract=True
+    )
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w_i), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1) * np.asarray(b2), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ior2), 1.0)
+
+
+def test_refract_scene_renders_finite_and_differs():
+    """A scene with a REAL smooth dielectric (none of the bundled scenes has
+    one: their "water" is the plastic type): a tilted glass pane over a lit
+    floor. cfg.refract_dielectric bends transmitted rays, shifting what the
+    camera sees through the pane; straight-through parity does not."""
+    import tempfile
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render import init_state, render_frame_jit
+    from tpu_pathtracer.scene import load_scene
+
+    obj = """
+mtllib glass.mtl
+v -3 0 -3
+v  3 0 -3
+v  3 0  3
+v -3 0  3
+v -2 0.2 1.4
+v  2 0.2 1.4
+v  2 2.2 0.4
+v -2 2.2 0.4
+v -2 3.2 -2
+v  2 3.2 -2
+v  2 3.2  0
+v -2 3.2  0
+vn 0 1 0
+vn 0 0.4472 0.8944
+vn 0 -1 0
+usemtl floor
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+usemtl glass
+f 5//2 6//2 7//2
+f 5//2 7//2 8//2
+usemtl lamp
+f 9//3 11//3 10//3
+f 9//3 12//3 11//3
+"""
+    mtl = """
+newmtl floor
+Kd 0.8 0.2 0.1
+Ka 0 0 0
+Ks 1 0 0
+newmtl glass
+Kd 1 1 1
+Ka 0 0 0
+Ks 0 0 1.5
+newmtl lamp
+Kd 0 0 0
+Ka 3 3 3
+Ks 1 0 0
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/glass.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/glass.mtl", "w") as fh:
+        fh.write(mtl)
+    scene = load_scene(f"{d}/glass.obj")
+    assert (np.asarray(scene.mat_type) == bsdf.MATERIAL_SMOOTH_DIELECTRIC).any()
+
+    base_cfg = RenderConfig(samples_per_frame=4, max_path_length=4,
+                            intersector="brute", reference_quirks=False)
+    refr_cfg = base_cfg.replace(refract_dielectric=True)
+    a = init_state(24, 32)
+    b = init_state(24, 32)
+    for _ in range(4):
+        a = render_frame_jit(a, scene, base_cfg)
+        b = render_frame_jit(b, scene, refr_cfg)
+    ia, ib = np.asarray(a.accum), np.asarray(b.accum)
+    assert np.isfinite(ib).all() and ib.min() >= 0.0
+    # the tilted pane bends transmitted rays: the view through it changes
+    assert np.abs(ia - ib).max() > 0.05

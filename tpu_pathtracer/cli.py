@@ -58,6 +58,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
                                  "the scene with (NEE/MIS importance-sampled)")
     p.add_argument("--env-strength", type=float, default=1.0)
+    p.add_argument("--refract", action="store_true",
+                   help="Snell-bent smooth-dielectric transmission instead "
+                        "of the reference's straight-through quirk "
+                        "(two-sided, TIR, (eta_i/eta_t)^2 radiance scale)")
     p.add_argument("--rough-materials", action="store_true",
                    help="classify MTL roughness in (0,1) to the GGX "
                         "extension materials (rough conductor/plastic/"
@@ -128,6 +132,7 @@ def main(argv=None) -> int:
         enable_tone_mapping=args.tone_map,
         noise_mode=NoiseMode.TILED if args.noise == "tiled" else NoiseMode.PRNG,
         reference_quirks=not args.no_quirks,
+        refract_dielectric=args.refract,
         intersector=args.intersector,
         use_pallas=not args.no_pallas,
         comparison_mode=ComparisonMode(args.compare_mode),

@@ -78,6 +78,12 @@ class RenderConfig:
     # render/wavefront.py docstrings).  When False, uses the physically
     # conventional balance-heuristic MIS estimator instead.
     reference_quirks: bool = True
+    # Snell-bent smooth-dielectric transmission (extension; the reference
+    # transmits straight through with no refraction bend,
+    # renderer/KernelHelpers.h:151-166).  Two-sided normals, air outside,
+    # automatic TIR.  Not combinable with attach_dispersion (whose per-bin
+    # reweighting is exact only for straight-through transmission).
+    refract_dielectric: bool = False
     # Samples per pixel per frame (the reference always renders 1 spp/frame).
     samples_per_frame: int = 1
     # Max samples fused into ONE wavefront (PRNG noise only; 0/1 disables).

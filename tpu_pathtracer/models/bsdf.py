@@ -117,9 +117,17 @@ def eval_material(mtype, ior, w_i, w_o, n, lobe_u, angle_epsilon,
 
 
 def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
-                  quirks: bool = True, roughness=None):
+                  quirks: bool = True, roughness=None,
+                  refract: bool = False):
     """Sample the next bounce direction
     -> (w_o, bsdf, pdf, new_ior, finite_pdf).
+
+    ``refract=True`` (extension, cfg.refract_dielectric) replaces the
+    reference's straight-through smooth-dielectric transmission with a
+    Snell-bent refraction: two-sided normals, air (IoR 1.0) outside,
+    automatic TIR via the oriented fresnel, and the camera-path radiance
+    scale (eta_i/eta_t)^2.  The rough dielectric keeps straight-through
+    transmission in either mode.
 
     ``finite_pdf`` is the flag the emitter-hit MIS arm keys on (the
     reference's params.y "previous bounce was diffuse",
@@ -157,10 +165,37 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
     plastic_bsdf = jnp.where(take_second_lobe, diffuse_val, mirror_cos)
     plastic_pdf = jnp.where(take_second_lobe, diffuse_val, 1.0)
 
-    dielectric_dir = jnp.where(tsl3, w_i, mirror_dir)  # straight-through transmission
-    dielectric_bsdf = jnp.where(take_second_lobe, 1.0, mirror_cos)
-    dielectric_pdf = jnp.ones_like(diffuse_val)
-    dielectric_ior = jnp.where(take_second_lobe, ior, current_ior)
+    if not refract:
+        # straight-through transmission (reference parity,
+        # renderer/KernelHelpers.h:151-166: no refraction bend)
+        dielectric_dir = jnp.where(tsl3, w_i, mirror_dir)
+        dielectric_bsdf = jnp.where(take_second_lobe, 1.0, mirror_cos)
+        dielectric_pdf = jnp.ones_like(diffuse_val)
+        dielectric_ior = jnp.where(take_second_lobe, ior, current_ior)
+    else:
+        # physically-correct smooth dielectric (extension): Snell-bent
+        # transmission with two-sided normals and air (1.0) on the outside.
+        # TIR is automatic (oriented fresnel returns 1 -> reflection arm).
+        entering = dot(w_i, n) < 0.0
+        n_f = jnp.where(entering[None], n, -n)
+        eta_t = jnp.where(entering, ior, 1.0)
+        f_r = fresnel(n_f, -w_i, current_ior, eta_t)
+        eta = current_ior / jnp.maximum(eta_t, 1e-6)
+        cos_i = -dot(w_i, n_f)
+        sin_t_sq = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t_sq, 0.0))
+        refr_dir = eta[None] * w_i + (eta * cos_i - cos_t)[None] * n_f
+        # dielectric lanes re-choose their lobe with the oriented fresnel
+        # (same lobe_u uniform); plastic keeps the reference's f_i selection
+        dsl = f_r < lobe_u
+        refl_dir = reflect(w_i, n_f)
+        refl_w = dot(refl_dir, n_f) if quirks else jnp.ones_like(diffuse_val)
+        dielectric_dir = jnp.where(dsl[None], refr_dir, refl_dir)
+        # camera-path radiance convention: transmitted radiance scales by
+        # (eta_i/eta_t)^2 — enter+exit through a slab nets exactly 1
+        dielectric_bsdf = jnp.where(dsl, eta * eta, refl_w)
+        dielectric_pdf = jnp.ones_like(diffuse_val)
+        dielectric_ior = jnp.where(dsl, eta_t, current_ior)
 
     one = jnp.ones_like(diffuse_val)
     w_o = _select4(

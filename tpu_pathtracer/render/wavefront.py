@@ -445,6 +445,13 @@ def trace_bounce(
         & not_self
         & (bounce + 1 < cfg.max_path_length)
     )
+    if not cfg.reference_quirks:
+        # physically-correct estimator: gate EVERY NEE lane on the surface
+        # cosine.  The reference leaves the signed diffuse eval (cos/pi < 0)
+        # ungated for area lights — invisible in its bundled geometry but a
+        # negative-radiance source once extensions (e.g. refraction) reach
+        # below-horizon light samples with clear shadow paths.
+        light_ok = light_ok & (dot(nee_dir, hn) > 0.0)
     nee_scale = jnp.where(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
@@ -517,9 +524,15 @@ def trace_bounce(
         )
 
     # ---- sample the next bounce (reference: renderer/Shaders.metal:199-211) ----
+    if cfg.refract_dielectric and scene.mat_ior_bins is not None:
+        raise NotImplementedError(
+            "refract_dielectric + attach_dispersion: the per-bin lobe "
+            "reweighting is exact only for straight-through transmission"
+        )
     w_o, nb_bsdf, nb_pdf, nb_ior, nb_finite = bsdf_lib.sample_bounce(
         m_type, m_ior, w_i, hn, lobe_u, uniforms["bounce_dir"], state.ior,
         quirks=cfg.reference_quirks, roughness=m_rough,
+        refract=cfg.refract_dielectric,
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
     bounce_albedo = m_diffuse
