@@ -52,7 +52,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="BVH builder: native C++ SAH or jittable JAX LBVH")
     p.add_argument("--no-accumulate", action="store_true")
     p.add_argument("--tone-map", action="store_true")
-    p.add_argument("--noise", choices=("prng", "tiled"), default="prng")
+    p.add_argument("--noise", choices=("prng", "tiled", "r2"),
+                   default="prng",
+                   help="prng = i.i.d. counter hash; tiled = reference "
+                        "parity noise; r2 = low-discrepancy lattice over "
+                        "frames (fastest progressive convergence)")
     p.add_argument("--no-quirks", action="store_true",
                    help="use conventional MIS instead of reference-exact estimator")
     p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
         accumulate_image=not args.no_accumulate,
         enable_tone_mapping=args.tone_map,
         noise_mode=NoiseMode.TILED if args.noise == "tiled" else NoiseMode.PRNG,
+        sampler="r2" if args.noise == "r2" else "prng",
         reference_quirks=not args.no_quirks,
         refract_dielectric=args.refract,
         intersector=args.intersector,

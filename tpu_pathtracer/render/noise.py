@@ -92,7 +92,8 @@ def camera_jitter(
         y = ((full_height - 1) - rows) % nd
         return tile[x + y * nd][:, :2].T  # (2, N)
     salt = key_salt(key) ^ jnp.uint32(_CAMERA_SALT)
-    return rng_ops.uniforms(pids, frame, 0, salt, 2)  # (2, N)
+    draw = rng_ops.uniforms_r2 if cfg.sampler == "r2" else rng_ops.uniforms
+    return draw(pids, frame, 0, salt, 2)  # (2, N)
 
 
 def bounce_uniforms(
@@ -127,6 +128,21 @@ def bounce_uniforms(
             out.update(env_select=ue[0], env_alias=ue[1], env_jit=ue[2:4])
         return out
     n = 10 if with_env else 6
+    if cfg.sampler == "r2":
+        # dim order aligns the semantic 2D pairs (barycentric warp,
+        # hemisphere warp, env jitter) onto whole sampler blocks — the r2
+        # sampler stratifies each block as a designed 2D lattice
+        # (ops/rng.py:uniforms_r2)
+        u = rng_ops.uniforms_r2(pids, frame, bounce, key_salt(key), n)
+        out = {
+            "light_bary": u[0:2],
+            "bounce_dir": u[2:4],
+            "light_select": u[4],
+            "lobe": u[5],
+        }
+        if with_env:
+            out.update(env_jit=u[6:8], env_select=u[8], env_alias=u[9])
+        return out
     u = rng_ops.uniforms(pids, frame, bounce, key_salt(key), n)
     out = {
         "light_select": u[0],
