@@ -62,6 +62,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--env", help="HDR lat-long environment map (EXR) to light "
                                  "the scene with (NEE/MIS importance-sampled)")
     p.add_argument("--env-strength", type=float, default=1.0)
+    p.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens radius in world units (0 = the "
+                        "reference's pinhole); use with --focus")
+    p.add_argument("--focus", type=float, default=3.35,
+                   help="focal-plane distance along the view axis "
+                        "(cornellbox back wall ~ 3.35)")
     p.add_argument("--refract", action="store_true",
                    help="Snell-bent smooth-dielectric transmission instead "
                         "of the reference's straight-through quirk "
@@ -156,9 +162,18 @@ def main(argv=None) -> int:
                                rotation=args.env_rotation)
         if args.dispersion is not None:
             scene = attach_dispersion(scene, args.dispersion)
+    camera = None
+    if args.aperture > 0.0:
+        import jax.numpy as jnp
+
+        from .models.camera import Camera
+
+        camera = Camera(t=jnp.float32(0.0), aperture=args.aperture,
+                        focus=args.focus)
     r = Renderer(
         scene=scene, width=args.width, height=args.height,
         cfg=cfg, seed=args.seed, leaf_size=args.leaf_size, builder=args.builder,
+        camera=camera,
     )
     if args.resume:
         r.load_checkpoint(args.resume)

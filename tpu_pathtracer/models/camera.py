@@ -25,6 +25,12 @@ from ..core.math3d import normalize
 
 class Camera(NamedTuple):
     t: jnp.ndarray  # turntable angle, 0.0 in the reference
+    # Thin-lens extension (the reference is pinhole-only): lens radius in
+    # world units and focal-plane distance along the view axis.  Python
+    # floats — trace-time constants, so aperture == 0.0 compiles to the
+    # reference's exact pinhole math (bit-identical goldens).
+    aperture: float = 0.0
+    focus: float = 3.35
 
     @staticmethod
     def reference_default() -> "Camera":
@@ -38,6 +44,7 @@ def generate_rays_flat(
     jitter: jnp.ndarray,
     full_height: int,
     full_width: int,
+    lens_u: jnp.ndarray | None = None,
 ):
     """Primary rays for an arbitrary pixel enumeration.
 
@@ -48,6 +55,8 @@ def generate_rays_flat(
       jitter: (2, N) uniforms in [0, 1) for the AA jitter (the reference's
         noiseSample.xy, renderer/Shaders.metal:91-92).
       full_height, full_width: image resolution.
+      lens_u: (2, N) uniforms for the thin-lens disk sample; used only when
+        ``camera.aperture > 0`` (extension — the reference is pinhole-only).
 
     Returns:
       origins (3, N), directions (3, N), float32.
@@ -75,6 +84,19 @@ def generate_rays_flat(
     directions = normalize(directions)
     origin = up - view * 2.35
     origins = jnp.broadcast_to(origin[:, None], directions.shape)
+    if camera.aperture > 0.0 and lens_u is not None:
+        # thin lens: every lens point aims at the pinhole ray's focal-plane
+        # point, so geometry at ``focus`` (along the view axis) stays sharp
+        ft = jnp.float32(camera.focus) / jnp.maximum(
+            (directions * view[:, None]).sum(0), 1e-6
+        )
+        target = origins + directions * ft[None]
+        r = jnp.float32(camera.aperture) * jnp.sqrt(lens_u[0])
+        th = jnp.float32(2.0 * 3.14159265358979) * lens_u[1]
+        lx = r * jnp.cos(th)
+        ly = r * jnp.sin(th)
+        origins = origins + side[:, None] * lx[None] + up[:, None] * ly[None]
+        directions = normalize(target - origins)
     return origins, directions
 
 

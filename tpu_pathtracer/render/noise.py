@@ -82,7 +82,8 @@ def _tile_lookup(cfg, tile, frame, bounce, rows, cols, full_height):
 def camera_jitter(
     cfg: RenderConfig, key, frame, pids, full_height: int, full_width: int
 ) -> jnp.ndarray:
-    """(2, N) uniforms for the AA jitter (reference: renderer/Shaders.metal:91)."""
+    """(4, N) uniforms: AA jitter rows 0-1 (reference:
+    renderer/Shaders.metal:91) + thin-lens disk rows 2-3 (extension)."""
     if cfg.noise_mode == NoiseMode.TILED:
         nd = cfg.noise_dimensions
         tile = _tile(cfg, key, -1)
@@ -90,10 +91,13 @@ def camera_jitter(
         cols = (pids % full_width).astype(jnp.int32)
         x = cols % nd
         y = ((full_height - 1) - rows) % nd
-        return tile[x + y * nd][:, :2].T  # (2, N)
+        return tile[x + y * nd][:, :4].T  # (4, N); xy = AA, zw = lens
     salt = key_salt(key) ^ jnp.uint32(_CAMERA_SALT)
     draw = rng_ops.uniforms_r2 if cfg.sampler == "r2" else rng_ops.uniforms
-    return draw(pids, frame, 0, salt, 2)  # (2, N)
+    # 4 rows: [0:2] AA jitter (byte-identical streams to the historical
+    # 2-row draw — the hash computes 4 lanes either way), [2:4] thin-lens
+    # disk sample (used only when camera.aperture > 0)
+    return draw(pids, frame, 0, salt, 4)  # (4, N)
 
 
 def bounce_uniforms(

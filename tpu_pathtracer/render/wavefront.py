@@ -713,7 +713,8 @@ def render_sample(
     cam_key = jax.random.fold_in(key, 0xC0FFEE)
     jitter = camera_jitter(cfg, cam_key, frame_index, pids, full_height, full_width)
     origins, directions = generate_rays_flat(
-        camera, rows, cols, jitter, full_height, full_width
+        camera, rows, cols, jitter[0:2], full_height, full_width,
+        lens_u=jitter[2:4],
     )
     hero = (
         cfg.hero_wavelengths
