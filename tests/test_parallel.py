@@ -101,3 +101,33 @@ def test_multihost_mesh_single_process_and_gather():
 
     with pytest.raises(ValueError, match="ICI"):
         make_multihost_mesh(n_spp=3)
+
+
+def test_renderer_mesh_equals_single_chip():
+    """Renderer(mesh=...) — the user-facing multi-chip driver (CLI --mesh) —
+    is bit-identical to the single-chip Renderer, including checkpoint
+    resharding on load."""
+    from tpu_pathtracer.renderer import Renderer
+
+    cfg = RenderConfig(samples_per_frame=2, max_path_length=3)
+    mesh = make_mesh(4, 1)
+    a = Renderer("cornellbox", width=32, height=16, cfg=cfg)
+    b = Renderer("cornellbox", width=32, height=16, cfg=cfg, mesh=mesh)
+    a.run(2)
+    b.run(2)
+    # equal up to psum float reduction order (same bound as the library test)
+    np.testing.assert_allclose(a.image(), b.image(), atol=2e-6)
+    assert len(b.state.accum.sharding.device_set) == 4
+
+    # checkpoint from the sharded renderer resumes on the mesh
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/ck.npz"
+        b.save_checkpoint(p)
+        c = Renderer("cornellbox", width=32, height=16, cfg=cfg, mesh=mesh)
+        c.load_checkpoint(p)
+        assert len(c.state.accum.sharding.device_set) == 4
+        c.run(1)
+        a.run(1)
+        np.testing.assert_allclose(a.image(), c.image(), atol=4e-6)

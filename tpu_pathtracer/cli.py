@@ -111,6 +111,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-host", default="127.0.0.1",
                    help="viewer bind address (endpoints are unauthenticated; "
                         "use 0.0.0.0 to expose beyond loopback deliberately)")
+    p.add_argument("--mesh", metavar="TILESxSPP",
+                   help="multi-chip render over a ('tiles','spp') device "
+                        "mesh, e.g. --mesh 4x2 (8 chips; bit-identical to "
+                        "single-chip). 'auto' = all devices as tiles")
     p.add_argument("--platform", choices=("auto", "cpu", "tpu"),
                    default="auto",
                    help="pin the JAX platform (the config API, which wins "
@@ -162,6 +166,15 @@ def main(argv=None) -> int:
                                rotation=args.env_rotation)
         if args.dispersion is not None:
             scene = attach_dispersion(scene, args.dispersion)
+    mesh = None
+    if args.mesh:
+        from .parallel.tiles import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            tiles, _, spp = args.mesh.partition("x")
+            mesh = make_mesh(int(tiles), int(spp or 1))
     camera = None
     if args.aperture > 0.0:
         import jax.numpy as jnp
@@ -173,7 +186,7 @@ def main(argv=None) -> int:
     r = Renderer(
         scene=scene, width=args.width, height=args.height,
         cfg=cfg, seed=args.seed, leaf_size=args.leaf_size, builder=args.builder,
-        camera=camera,
+        camera=camera, mesh=mesh,
     )
     if args.resume:
         r.load_checkpoint(args.resume)

@@ -35,7 +35,12 @@ class Renderer:
         camera: Camera | None = None,
         leaf_size: int | None = None,
         builder: str = "auto",
+        mesh=None,
     ):
+        """``mesh``: a ('tiles','spp') jax.sharding.Mesh (parallel/tiles.py
+        make_mesh) — the frame step shards pixel rows over 'tiles' and
+        sample shards over 'spp' (psum over ICI), bit-identical to the
+        single-chip render.  None = single device."""
         self.cfg = cfg or RenderConfig()
         self.scene = (
             scene if isinstance(scene, Scene)
@@ -62,12 +67,22 @@ class Renderer:
         cfg_ = self.cfg
         camera_ = self.camera
         intersect_ = self._intersect
+        self.mesh = mesh
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def _step(state: RenderState, scene: Scene) -> RenderState:
-            return render_frame(state, scene, cfg_, camera_, intersect_)
+        if mesh is not None:
+            from .parallel.tiles import render_frame_distributed_jit
 
-        self._step = _step
+            if camera is not None:
+                raise NotImplementedError("mesh + custom camera not wired yet")
+            # the distributed step builds its shard intersector from the
+            # scene internally (same default BVH pipeline per shard)
+            self._step = render_frame_distributed_jit(mesh, self.cfg)
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def _step(state: RenderState, scene: Scene) -> RenderState:
+                return render_frame(state, scene, cfg_, camera_, intersect_)
+
+            self._step = _step
         self.reset(width, height)
 
     # -- reference: mtkView:drawableSizeWillChange: (Renderer.mm:640-657) --
@@ -75,6 +90,10 @@ class Renderer:
         width = width or self.state.width
         height = height or self.state.height
         self.state = init_state(height, width, self._seed, self.cfg.spectrum_samples)
+        if self.mesh is not None:
+            from .parallel.tiles import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self._avg_rays_per_sec = 0.0
         self._avg_frame_time = 0.0
         self._frame_count = 0        # host-side count (device state lags when async)
@@ -182,6 +201,10 @@ class Renderer:
 
         self.sync()
         self.state = load_checkpoint(path)
+        if self.mesh is not None:
+            from .parallel.tiles import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self._frame_count = int(self.state.frame_index)
         self._in_flight = 0
         self._window_t0 = None
