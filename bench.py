@@ -30,7 +30,7 @@ from tpu_pathtracer.renderer import Renderer  # noqa: E402
 BASELINE_MRAYS = 100.0
 
 
-def _device_watchdog(timeout_s: float = 300.0) -> None:
+def _device_watchdog(spp: int, timeout_s: float = 300.0) -> None:
     """Fail loudly if backend init hangs (an unreachable TPU relay blocks
     ``jax.devices()`` forever — a bounded error JSON beats an infinite hang
     for whoever is collecting the bench line)."""
@@ -42,7 +42,7 @@ def _device_watchdog(timeout_s: float = 300.0) -> None:
     def watch():
         if not done.wait(timeout_s):
             print(json.dumps({
-                "metric": "traced_mrays_per_sec_per_chip_1080p_1spp",
+                "metric": f"traced_mrays_per_sec_per_chip_1080p_{spp}spp",
                 "value": 0.0,
                 "unit": "Mrays/s",
                 "vs_baseline": 0.0,
@@ -57,7 +57,6 @@ def _device_watchdog(timeout_s: float = 300.0) -> None:
 
 
 def main() -> None:
-    _device_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="CornellBox-Water-plastic",
                     help="bench scene (default: the Cornell-box-with-mesh)")
@@ -72,6 +71,7 @@ def main() -> None:
                          "raises traced Mrays/s via wavefront density — see "
                          "docs/ROADMAP.md — but the headline config is 1)")
     args = ap.parse_args()
+    _device_watchdog(args.spp)
 
     cfg = RenderConfig(
         samples_per_frame=args.spp, max_path_length=args.depth,

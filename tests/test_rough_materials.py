@@ -175,14 +175,22 @@ def test_rough_scene_renders_finite(ks, mtype):
     assert img.mean() > 0.01  # light reaches the camera
 
 
-@pytest.mark.parametrize("ks", ["0.5 1 0", "0.35 0 -1.49"])
-def test_rough_mis_select_p_invariance(ks):
+@pytest.mark.parametrize("ks,quirks", [
+    ("0.5 1 0", False),
+    ("0.35 0 -1.49", False),
+    ("0.1 1 0", True),   # low roughness = unbounded VNDF pdf: would blow
+                         # out under the reference's x-pdf emitter quirk,
+                         # which rough scenes therefore do not apply
+])
+def test_rough_mis_select_p_invariance(ks, quirks):
     """The estimator stays select_p-invariant with a GGX floor: the
     emitter-hit arm must MIS against NEE through the GGX pdf (a missing or
-    delta-flagged prev_diffuse double-counts or darkens direct light)."""
+    delta-flagged prev_diffuse double-counts or darkens direct light), and
+    rough scenes disable the reference's x-pdf emitter quirk (state.pdf is
+    the unbounded VNDF density there, not the parity diffuse cos/pi)."""
     scene = _rough_scene(ks)
     cfg = RenderConfig(samples_per_frame=8, max_path_length=3,
-                       intersector="brute", reference_quirks=False)
+                       intersector="brute", reference_quirks=quirks)
 
     def run(sc, frames=96):
         state = init_state(24, 32)
@@ -200,10 +208,14 @@ def test_rough_mis_select_p_invariance(ks):
                                    rtol=0.01)
 
 
-def test_rough_dielectric_straight_through_ior():
+@pytest.mark.parametrize("refract", [False, True])
+def test_rough_dielectric_straight_through_ior(refract):
     """The rough dielectric keeps the reference's straight-through
-    transmission convention: transmitted lanes keep direction and adopt the
-    material IoR; reflected lanes scatter off-mirror (GGX)."""
+    transmission convention IN BOTH refract modes (cfg.refract_dielectric
+    bends only the smooth dielectric): transmitted lanes keep direction and
+    adopt the material IoR; reflected lanes scatter off-mirror (GGX).
+    Regression: with refract=True the smooth path's oriented-fresnel lobe
+    choice must NOT leak into the rough dielectric's IoR bookkeeping."""
     n = jnp.zeros((3, 512)).at[1].set(1.0)
     w_i = jnp.zeros((3, 512)).at[1].set(-0.6).at[0].set(0.8)
     w_i = w_i / jnp.linalg.norm(w_i, axis=0, keepdims=True)
@@ -214,7 +226,8 @@ def test_rough_dielectric_straight_through_ior():
     dir_u = jax.random.uniform(jax.random.PRNGKey(3), (2, 512))
     rough = jnp.full((512,), 0.3)
     w_o, b, p, new_ior, finite = bsdf.sample_bounce(
-        mtype, ior, w_i, n, lobe_u, dir_u, cur, roughness=rough
+        mtype, ior, w_i, n, lobe_u, dir_u, cur, roughness=rough,
+        refract=refract,
     )
     f = bsdf.fresnel(n, -w_i, cur, ior)
     trans = np.asarray(f < lobe_u)

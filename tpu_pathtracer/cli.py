@@ -124,7 +124,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    p = build_arg_parser()
+    args = p.parse_args(argv)
+    if args.refract and args.dispersion is not None:
+        p.error("--refract and --dispersion are mutually exclusive "
+                "(per-bin reweighting is exact only for straight-through "
+                "transmission)")
     import jax
 
     if args.platform != "auto":

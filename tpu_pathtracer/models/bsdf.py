@@ -224,12 +224,16 @@ def sample_bounce(mtype, ior, w_i, n, lobe_u, dir_u, current_ior,
     r_di_dir = jnp.where(tsl3, w_i, g_dir)
     r_di_bsdf = jnp.where(take_second_lobe, 1.0, g_fcos)
     r_di_pdf = jnp.where(take_second_lobe, 1.0, g_pdf)
+    # rough dielectric keys its OWN ior update on take_second_lobe (the
+    # smooth dielectric_ior keys on refract-mode's oriented-fresnel choice,
+    # which diverges for exit rays)
+    r_di_ior = jnp.where(take_second_lobe, ior, current_ior)
 
     w_o = _select_rough(mtype[None], w_o, g_dir, r_pl_dir, r_di_dir)
     bsdf = _select_rough(mtype, bsdf, g_fcos, r_pl_bsdf, r_di_bsdf)
     pdf = _select_rough(mtype, pdf, g_pdf, r_pl_pdf, r_di_pdf)
     new_ior = _select_rough(
-        mtype, new_ior, current_ior, current_ior, dielectric_ior
+        mtype, new_ior, current_ior, current_ior, r_di_ior
     )
     finite = _select_rough(
         mtype,

@@ -319,6 +319,20 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
     return make_bvh_intersector(lay, scene)
 
 
+def _conductor_albedo(m_diffuse, m_type, w_i, out_dir):
+    """Spectral throughput factor with rough-conductor Fresnel: Schlick at
+    the half-vector (F0 = Kd) REPLACES the albedo on rough-conductor lanes
+    (the GGX lobe in models/bsdf.py evaluates with F = 1); every other
+    material keeps its plain albedo."""
+    from ..models import ggx
+
+    is_rc = (m_type == bsdf_lib.MATERIAL_ROUGH_CONDUCTOR)[None]
+    hv = out_dir - w_i  # v + l with v = -w_i
+    hlen = jnp.sqrt(jnp.maximum(dot(hv, hv), 1e-12))
+    cos_vm = jnp.clip(-dot(w_i, hv) / hlen, 0.0, 1.0)
+    return jnp.where(is_rc, ggx.schlick(m_diffuse, cos_vm), m_diffuse)
+
+
 def trace_bounce(
     scene: Scene,
     cfg: RenderConfig,
@@ -455,19 +469,9 @@ def trace_bounce(
     nee_scale = jnp.where(
         light_ok, nee_weight * nee_bsdf / jnp.where(light_ok, light_pdf, 1.0), 0.0
     )
-    nee_albedo = m_diffuse
-    if m_rough is not None:
-        # rough-conductor lanes: the spectral factor is Schlick Fresnel at
-        # the half-vector (F0 = Kd), REPLACING the albedo (the GGX lobe in
-        # bsdf.py is evaluated with F = 1)
-        from ..models import ggx
-
-        is_rc = (m_type == bsdf_lib.MATERIAL_ROUGH_CONDUCTOR)[None]
-        hv = nee_dir - w_i  # v + l with v = -w_i
-        hlen = jnp.sqrt(jnp.maximum(dot(hv, hv), 1e-12))
-        cos_vm = jnp.clip(-dot(w_i, hv) / hlen, 0.0, 1.0)
-        nee_albedo = jnp.where(is_rc, ggx.schlick(m_diffuse, cos_vm),
-                               m_diffuse)
+    nee_albedo = m_diffuse if m_rough is None else _conductor_albedo(
+        m_diffuse, m_type, w_i, nee_dir
+    )
     nee_contrib = nee_emit * nee_albedo * state.throughput * nee_scale[None]
     if scene.mat_ior_bins is not None:
         # dispersive fresnel (framework extension, scene.attach_dispersion):
@@ -505,7 +509,13 @@ def trace_bounce(
         emit_lpdf = emit_lpdf * (1.0 - scene.env.select_p)
     emit_lpdf = state.prev_diffuse * emit_lpdf
     emit_weight = balance_heuristic(state.pdf, emit_lpdf)
-    emit_factor = emit_weight * (state.pdf if cfg.reference_quirks else 1.0)
+    # The reference's x-pdf emitter quirk is bounded only because its sole
+    # finite-pdf lobe is diffuse (pdf = cos/pi <= 1/pi).  A GGX lane's
+    # state.pdf is the VNDF density (unbounded near specular), so scenes
+    # that opted into rough materials use the conventional weighting for
+    # every lane — they are extension scenes, not parity scenes.
+    quirk = cfg.reference_quirks and m_rough is None
+    emit_factor = emit_weight * (state.pdf if quirk else 1.0)
     emit_contrib = (
         m_emissive * state.throughput * jnp.where(is_light, emit_factor, 0.0)[None]
     )
@@ -535,15 +545,9 @@ def trace_bounce(
         refract=cfg.refract_dielectric,
     )
     safe_pdf = jnp.where(jnp.abs(nb_pdf) > cfg.pdf_floor, nb_pdf, cfg.pdf_floor)
-    bounce_albedo = m_diffuse
-    if m_rough is not None:
-        from ..models import ggx
-
-        hv_b = w_o - w_i
-        hlen_b = jnp.sqrt(jnp.maximum(dot(hv_b, hv_b), 1e-12))
-        cos_vm_b = jnp.clip(-dot(w_i, hv_b) / hlen_b, 0.0, 1.0)
-        bounce_albedo = jnp.where(is_rc, ggx.schlick(m_diffuse, cos_vm_b),
-                                  m_diffuse)
+    bounce_albedo = m_diffuse if m_rough is None else _conductor_albedo(
+        m_diffuse, m_type, w_i, w_o
+    )
     throughput_scale = bounce_albedo * (nb_bsdf / safe_pdf)[None]
     if scene.mat_ior_bins is not None:
         # bounce arm: eta_out is the ray's tracked (hero/d-line) IoR

@@ -74,9 +74,17 @@ class Renderer:
 
             if camera is not None:
                 raise NotImplementedError("mesh + custom camera not wired yet")
-            # the distributed step builds its shard intersector from the
-            # scene internally (same default BVH pipeline per shard)
-            self._step = render_frame_distributed_jit(mesh, self.cfg)
+            # each shard gets the SAME intersection pipeline the single-chip
+            # path uses (BVH layouts ride in as replicated closure constants;
+            # without a factory the distributed step falls back to brute)
+            layout_, layout_occl_ = self.layout, self.layout_occl
+
+            def _factory(scene_rep):
+                return make_intersector(scene_rep, cfg_, layout_, layout_occl_)
+
+            self._step = render_frame_distributed_jit(
+                mesh, self.cfg, intersect_factory=_factory
+            )
         else:
             @partial(jax.jit, donate_argnums=(0,))
             def _step(state: RenderState, scene: Scene) -> RenderState:

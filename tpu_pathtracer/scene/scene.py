@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import spectrum as spec
+from ..models.bsdf import MATERIAL_ROUGH_CONDUCTOR as _MATERIAL_ROUGH_MIN
 from .materials import MaterialTable, classify
 from .objmtl import ObjMesh, load_obj
 
@@ -193,7 +194,8 @@ def build_scene(mesh: ObjMesh, samples: int = 3,
         # so parity scenes keep the parity jit treedef (and zero extra math)
         mat_roughness=(
             jnp.asarray(mats.roughness)
-            if rough_materials and (mats.mtype >= 4).any() else None
+            if rough_materials
+            and (mats.mtype >= _MATERIAL_ROUGH_MIN).any() else None
         ),
     )
 
