@@ -244,3 +244,48 @@ def test_rough_dielectric_straight_through_ior(refract):
     assert live.any()
     assert np.asarray(w_o)[1, live].min() > 0.0
     assert np.asarray(b)[refl & ~live].max() == 0.0
+
+
+def test_rough_conductor_white_furnace_bound():
+    """White (F0 = 1) rough-conductor floor under a unit env: every pixel
+    stays <= 1 (energy conservation) and near 1 (single-scatter GGX loses
+    only the multiple-scattering fraction at this roughness)."""
+    import tempfile
+
+    from tpu_pathtracer.scene import attach_env
+
+    obj = """
+mtllib w.mtl
+v -50 0 -50
+v  50 0 -50
+v  50 0  50
+v -50 0  50
+vn 0 1 0
+usemtl floor
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+"""
+    mtl = """
+newmtl floor
+Kd 1 1 1
+Ka 0 0 0
+Ks 0.5 1 0
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/w.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/w.mtl", "w") as fh:
+        fh.write(mtl)
+    scene = load_scene(f"{d}/w.obj", rough_materials=True)
+    assert int(scene.mat_type[0]) == bsdf.MATERIAL_ROUGH_CONDUCTOR
+    scene = attach_env(scene, np.ones((8, 16, 3), np.float32))
+    cfg = RenderConfig(samples_per_frame=8, max_path_length=6,
+                       intersector="brute", reference_quirks=False)
+    state = init_state(24, 32)
+    for _ in range(12):
+        state = render_frame_jit(state, scene, cfg)
+    img = np.asarray(state.accum)
+    assert np.isfinite(img).all()
+    floor = img[-8:]
+    assert floor.max() < 1.02          # never creates energy
+    assert floor.mean() > 0.85         # single-scatter loss only
