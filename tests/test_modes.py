@@ -346,3 +346,33 @@ def test_fused_samples_hero_spectral():
     a, b = np.asarray(r0.image()), np.asarray(r1.image())
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_row_tiles_bit_identical():
+    """cfg.row_tiles renders the frame in sequential row tiles; output is
+    identical up to float summation order (same bound as the multi-chip
+    path), bounding peak HBM."""
+    import numpy as np
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render import init_state, render_frame_jit
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    scene = load_scene(scene_path("cornellbox"))
+    base = RenderConfig(samples_per_frame=2, max_path_length=3)
+    a = init_state(24, 32)
+    b = init_state(24, 32)
+    c = init_state(24, 32)
+    for _ in range(2):
+        a = render_frame_jit(a, scene, base)
+        b = render_frame_jit(b, scene, base.replace(row_tiles=4))
+        c = render_frame_jit(c, scene, base.replace(row_tiles=24))
+    np.testing.assert_allclose(np.asarray(a.accum), np.asarray(b.accum),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.accum), np.asarray(c.accum),
+                               atol=2e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="row_tiles"):
+        render_frame_jit(init_state(25, 32), scene, base.replace(row_tiles=4))

@@ -111,6 +111,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-host", default="127.0.0.1",
                    help="viewer bind address (endpoints are unauthenticated; "
                         "use 0.0.0.0 to expose beyond loopback deliberately)")
+    p.add_argument("--row-tiles", type=int, default=1,
+                   help="render each frame in N sequential row tiles "
+                        "(bounds peak HBM for big frames or high "
+                        "--fuse-samples)")
     p.add_argument("--mesh", metavar="TILESxSPP",
                    help="multi-chip render over a ('tiles','spp') device "
                         "mesh, e.g. --mesh 4x2 (8 chips; bit-identical to "
@@ -157,6 +161,7 @@ def main(argv=None) -> int:
         use_pallas=not args.no_pallas,
         comparison_mode=ComparisonMode(args.compare_mode),
         comparison_scale=args.compare_scale,
+        row_tiles=args.row_tiles,
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,
     )

@@ -103,6 +103,12 @@ class RenderConfig:
     # 16 GB HBM (compile-time OOM at 17.3G), so the default is 2; raise it
     # for smaller frames.
     fuse_samples: int = 2
+    # Sequential row tiles per frame on a single chip (1 = whole frame at
+    # once).  Each tile's wavefront is height/row_tiles of the lanes, which
+    # bounds peak HBM — e.g. fuse_samples=4 at 1080p (17.3G > v5e's HBM as
+    # one wavefront) or 4K frames.  Output identical up to float summation
+    # order (absolute-pixel RNG); must divide the render height.
+    row_tiles: int = 1
     # Intersection backend: "bvh" (default; LBVH + stackless traversal) or
     # "brute" (O(N*T) Moller-Trumbore, for testing/small scenes).
     intersector: str = "bvh"

@@ -153,10 +153,29 @@ def render_frame(
     mean into the accumulator.  Pure; jit with static cfg and donated state."""
     camera = camera if camera is not None else Camera.reference_default()
     height, width = state.height, state.width
-    total = sample_sum(
-        scene, cfg, camera, height, width, state.key, state.frame_index,
-        intersect,
-    )
+    tiles = max(1, cfg.row_tiles)
+    if tiles > 1 and height % tiles:
+        raise ValueError(f"row_tiles {tiles} must divide height {height}")
+    if tiles == 1:
+        total = sample_sum(
+            scene, cfg, camera, height, width, state.key, state.frame_index,
+            intersect,
+        )
+    else:
+        # sequential row tiles: each tile's wavefront is 1/tiles the lanes,
+        # bounding peak HBM (e.g. fuse_samples=4 at 1080p, or 4K frames, on
+        # one chip).  The RNG keys on absolute pixel ids, so the image
+        # matches the untiled render up to float summation order (the same
+        # bound as the multi-chip tile path).
+        tile_h = height // tiles
+        total = jnp.concatenate([
+            sample_sum(
+                scene, cfg, camera, tile_h, width, state.key,
+                state.frame_index, intersect,
+                row0=r * tile_h, full_height=height, full_width=width,
+            )
+            for r in range(tiles)
+        ], axis=0)
     color = total / cfg.samples_per_frame
     new_accum = accumulate(state.accum, state.frame_index, color, cfg.accumulate_image)
     return RenderState(
