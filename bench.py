@@ -70,12 +70,18 @@ def main() -> None:
                     help="samples per frame (fused into one wavefront; >1 "
                          "raises traced Mrays/s via wavefront density — see "
                          "docs/ROADMAP.md — but the headline config is 1)")
+    ap.add_argument("--bake-materials", action="store_true", default=None,
+                    help="override cfg.bake_materials (A/B the baked-row "
+                         "material resolve)")
     args = ap.parse_args()
     _device_watchdog(args.spp)
 
+    over = {}
+    if args.bake_materials is not None:
+        over["bake_materials"] = args.bake_materials
     cfg = RenderConfig(
         samples_per_frame=args.spp, max_path_length=args.depth,
-        intersector=args.intersector,
+        intersector=args.intersector, **over,
     )
     r = Renderer(args.scene, width=args.width, height=args.height, cfg=cfg)
 

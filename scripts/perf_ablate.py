@@ -121,8 +121,8 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default=(
-        "real-full,fake-full,fake-nosort,fake-constrng,fake-constsel,"
-        "fake-allconst"))
+        "real-full,fake-full,fake-nosort,fake-noladder,fake-constrng,"
+        "fake-constsel,fake-allconst"))
     args = ap.parse_args()
 
     orig = {
@@ -144,6 +144,7 @@ def main():
         "real-full": ({}, {}),
         "fake-full": ({"fake": True}, {}),
         "fake-nosort": ({"fake": True}, {"sort_rays": False}),
+        "fake-noladder": ({"fake": True}, {"live_ladder": 0}),
         "fake-constrng": ({"fake": True, "constrng": True}, {}),
         "fake-constsel": ({"fake": True, "constsel": True}, {}),
         "fake-allconst": ({"fake": True, "constrng": True, "constsel": True}, {}),
@@ -168,6 +169,7 @@ def main():
         print(f"-> traversal+resolve ~ "
               f"{(results['real-full']-results['fake-full'])*1e3:8.1f} ms")
     for name, label in [("fake-nosort", "sort machinery"),
+                        ("fake-noladder", "ladder glue"),
                         ("fake-constrng", "RNG supply"),
                         ("fake-constsel", "select chains")]:
         if name in results and "fake-full" in results:

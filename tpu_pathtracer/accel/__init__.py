@@ -15,7 +15,8 @@ from .lbvh import BVH, build, morton_codes  # noqa: F401
 
 
 def build_layout(
-    scene: Scene, leaf_size: int = 16, builder: str = "auto"
+    scene: Scene, leaf_size: int = 16, builder: str = "auto",
+    bake_materials: bool = False,
 ) -> BVHLayout:
     """Build the traversal-ready BVH for a scene.
 
@@ -45,9 +46,21 @@ def build_layout(
                 bvh = jax.block_until_ready(bvh)
         else:
             bvh = build(scene.p0, scene.p1, scene.p2, leaf_size=leaf_size)
+    mat_tables = None
+    if bake_materials:
+        # per-material constants copied verbatim into the resolve rows so the
+        # payload gather also delivers materials (cfg.bake_materials)
+        mat_tables = {
+            "diffuse": scene.mat_diffuse,
+            "emissive": scene.mat_emissive,
+            "ior": scene.mat_ior,
+            "mtype": scene.mat_type,
+            "rough": scene.mat_roughness,
+        }
     return dfs_layout(
         bvh,
         normals=(scene.n0, scene.n1, scene.n2),
         material_id=scene.material_id,
         light_index=scene.light_index,
+        mat_tables=mat_tables,
     )

@@ -89,12 +89,24 @@ class BVHLayout(NamedTuple):
     p1: jnp.ndarray
     p2: jnp.ndarray
 
+    # Optional material-baked resolve table (cfg.bake_materials): the first
+    # 24 columns are ``tris`` verbatim; columns 24.. append the hit
+    # triangle's material constants [diffuse S, emissive S, ior, mtype,
+    # (rough)] so ONE row gather resolves geometry AND materials (XLA's TPU
+    # row-gather cost is per row, flat in width).  ``matmeta`` = (S,
+    # has_rough) records the column split.  Only the nearest-hit resolve
+    # reads this table; the traversal kernels keep the 24-col ``tris``.
+    triswide: jnp.ndarray | None = None   # (T+1, 24 + 2S + 2 (+1))
+    matmeta: tuple | None = None          # (spectrum_samples, has_rough)
+
 
 def dfs_layout(
     bvh: BVH,
     normals=None,        # optional ((3,T), (3,T), (3,T)) in ORIGINAL tri order
     material_id=None,    # optional (T,) in original order
     light_index=None,    # optional (T,) in original order (-1 = not a light)
+    mat_tables=None,     # optional dict: diffuse/emissive (S, M), ior (M,),
+                         # mtype (M,), rough (M,) or None -> builds triswide
 ) -> BVHLayout:
     """Flatten the effective (leaf-collapsed) tree into DFS preorder."""
     left = np.asarray(bvh.left)
@@ -296,6 +308,27 @@ def dfs_layout(
     leafmeta[:num_leaves, 1] = counts[leaf_pos]
     leafmeta[:num_leaves, 2] = leaf_pos
 
+    # ---- material-baked resolve rows (cfg.bake_materials) ----
+    triswide = None
+    matmeta = None
+    if mat_tables is not None and material_id is not None:
+        mid = np.asarray(material_id)[s2o].astype(np.int64)   # (T,) sorted
+        diffuse = np.asarray(mat_tables["diffuse"], np.float32)   # (S, M)
+        emissive = np.asarray(mat_tables["emissive"], np.float32)
+        s = diffuse.shape[0]
+        rough = mat_tables.get("rough")
+        cols = [diffuse[:, mid].T, emissive[:, mid].T,
+                np.asarray(mat_tables["ior"], np.float32)[mid][:, None],
+                np.asarray(mat_tables["mtype"], np.float32)[mid][:, None]]
+        if rough is not None:
+            cols.append(np.asarray(rough, np.float32)[mid][:, None])
+        matcols = np.concatenate(cols, axis=1)                # (T, K)
+        wide = np.zeros((num_tris + 1, 24 + matcols.shape[1]), np.float32)
+        wide[:, :24] = tris
+        wide[:num_tris, 24:] = matcols  # sentinel row stays all-zero
+        triswide = jnp.asarray(wide)
+        matmeta = (s, rough is not None)
+
     return BVHLayout(
         nodes=jnp.asarray(nodes),
         nodes_meta=jnp.asarray(nodes_meta),
@@ -322,4 +355,6 @@ def dfs_layout(
         p0=jnp.asarray(p0),
         p1=jnp.asarray(p1),
         p2=jnp.asarray(p2),
+        triswide=triswide,
+        matmeta=matmeta,
     )

@@ -167,6 +167,15 @@ class RenderConfig:
     # Big-triangle pre-pass size: MT-test the K largest triangles before the
     # walk to prime best_t (K=0 disables; must be a multiple of 8).
     traversal_prepass: int = 32
+    # Bake per-material shading constants (diffuse/emissive spectra, IoR,
+    # type, roughness) into the per-triangle resolve rows, so the ONE row
+    # gather the nearest-hit payload resolve already pays also delivers the
+    # material data — XLA's TPU row gather costs per ROW, flat in width
+    # (31 ms/2M rows for 4..24 cols, measured) — and the per-bounce
+    # compare/select material chains (ops/tables.select_cols) disappear.
+    # Baking is exact: table values are copied verbatim per triangle.
+    # Dispersion tables (mat_ior_bins) and texture ids keep their own paths.
+    bake_materials: bool = False
     # Sort the wavefront before each secondary bounce by (alive, direction
     # octant, origin Morton cell): dead rays compact into tiles that exit
     # instantly and live rays regain tile coherence (the BASELINE.json

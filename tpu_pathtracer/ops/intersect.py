@@ -61,6 +61,11 @@ class HitShade(NamedTuple):
     light: jnp.ndarray   # (N,) int32 light-table index, -1 if none/miss
     pos: jnp.ndarray     # (3, N) interpolated hit position
     normal: jnp.ndarray  # (3, N) interpolated unit shading normal
+    # Optional baked material payload (cfg.bake_materials): dict with
+    # "diffuse"/"emissive" (S, N), "ior"/"mtype" (N,), "rough" (N,) or
+    # absent — delivered by the same row gather that resolves geometry
+    # (accel/layout.py triswide), replacing the select_cols chains.
+    mataux: dict | None = None
 
     @property
     def valid(self) -> jnp.ndarray:

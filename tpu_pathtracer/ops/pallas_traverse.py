@@ -979,7 +979,12 @@ def resolve_window_payload(
     """
     n = out.shape[1]
     t = jnp.where(out[0] < t_max_arr, out[0], jnp.inf)
-    rows = jnp.take(lay.tris, out[1].astype(jnp.int32), axis=0)  # (N, 24)
+    # ONE row gather serves the whole resolve; with cfg.bake_materials the
+    # wider table also carries the hit material's constants (columns 24..) —
+    # the gather's cost is per row, flat in width, so the material payload
+    # rides free and the select_cols chains in the shading core disappear.
+    table = lay.tris if (lay.triswide is None or not resolve) else lay.triswide
+    rows = jnp.take(table, out[1].astype(jnp.int32), axis=0)  # (N, 24+K)
     e1 = (rows[:, 3], rows[:, 4], rows[:, 5])
     e2 = (rows[:, 6], rows[:, 7], rows[:, 8])
     pvx = d[1] * e2[2] - d[2] * e2[1]
@@ -1015,6 +1020,17 @@ def resolve_window_payload(
     ny = rows[:, 11] * w0 + rows[:, 14] * u + rows[:, 17] * v
     nz = rows[:, 12] * w0 + rows[:, 15] * u + rows[:, 18] * v
     rlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    mataux = None
+    if lay.triswide is not None:
+        s, has_rough = lay.matmeta
+        mataux = {
+            "diffuse": rows[:, 24:24 + s].T,           # (S, N)
+            "emissive": rows[:, 24 + s:24 + 2 * s].T,  # (S, N)
+            "ior": rows[:, 24 + 2 * s],
+            "mtype": rows[:, 25 + 2 * s].astype(jnp.int32),
+        }
+        if has_rough:
+            mataux["rough"] = rows[:, 26 + 2 * s]
     return HitShade(
         t=t, u=u, v=v,
         tri=rows[:, 9].astype(jnp.int32),
@@ -1022,6 +1038,7 @@ def resolve_window_payload(
         light=rows[:, 20].astype(jnp.int32) - 1,
         pos=jnp.stack([px, py, pz]),
         normal=jnp.stack([nx * rlen, ny * rlen, nz * rlen]),
+        mataux=mataux,
     )
 
 

@@ -104,16 +104,21 @@ def initial_path_state(
     )
 
 
-def select_spectrum(table: jnp.ndarray, idx: jnp.ndarray, bins) -> jnp.ndarray:
-    """Spectral table lookup: (S, M) x (N,) -> (S, N), or (C, N) under hero
-    sampling (``bins`` (C, N): each lane reads only its C wavelength bins)."""
-    vals = select_cols(table, idx)            # (S, N)
+def _apply_bins(vals: jnp.ndarray, bins) -> jnp.ndarray:
+    """(S, N) per-lane spectra -> (C, N) hero-bin view (``bins`` (C, N): each
+    lane reads only its C wavelength bins); identity when bins is None."""
     if bins is None:
         return vals
     out = jnp.zeros(bins.shape, jnp.float32)
     for s in range(vals.shape[0]):
         out = jnp.where(bins == s, vals[s][None, :], out)
     return out
+
+
+def select_spectrum(table: jnp.ndarray, idx: jnp.ndarray, bins) -> jnp.ndarray:
+    """Spectral table lookup: (S, M) x (N,) -> (S, N), or (C, N) under hero
+    sampling."""
+    return _apply_bins(select_cols(table, idx), bins)
 
 
 def _morton5(q: jnp.ndarray) -> jnp.ndarray:
@@ -365,9 +370,26 @@ def trace_bounce(
 
     tri = jnp.where(valid, hit.tri, 0)
     mat = hit.mat
-    # material table: tiny -> gather-free compare/select chain; spectral
-    # channels read only the lane's hero bins when hero sampling is on
-    m_diffuse = select_spectrum(scene.mat_diffuse, mat, state.bins)  # (C|S, N)
+    if hit.mataux is not None:
+        # cfg.bake_materials: the resolve row gather already delivered this
+        # lane's material constants (accel/layout.py triswide) — no chains.
+        # Sentinel-row lanes read zeros; every consumer is valid-masked.
+        m_diffuse = _apply_bins(hit.mataux["diffuse"], state.bins)
+        m_emissive = _apply_bins(hit.mataux["emissive"], state.bins)
+        m_ior = hit.mataux["ior"]
+        m_type = hit.mataux["mtype"]
+        m_rough = hit.mataux.get("rough")
+    else:
+        # material table: tiny -> gather-free compare/select chain; spectral
+        # channels read only the lane's hero bins when hero sampling is on
+        m_diffuse = select_spectrum(scene.mat_diffuse, mat, state.bins)
+        m_emissive = select_spectrum(scene.mat_emissive, mat, state.bins)
+        m_ior = select_cols(scene.mat_ior, mat)
+        m_type = select_cols(scene.mat_type, mat)
+        # GGX extension types (rough conductor/plastic/dielectric — the
+        # reference's TODO materials); None keeps the parity math untouched
+        m_rough = (select_cols(scene.mat_roughness, mat)
+                   if scene.mat_roughness is not None else None)
     if scene.textures is not None:
         # map_Kd modulation at the interpolated texcoords (config-4 extension;
         # the reference drops texcoords, renderer/Renderer.mm:365-369)
@@ -377,13 +399,6 @@ def trace_bounce(
             scene, tri, hit.u, hit.v, mat, state.bins,
             scene.mat_diffuse.shape[0],
         )
-    m_emissive = select_spectrum(scene.mat_emissive, mat, state.bins)
-    m_ior = select_cols(scene.mat_ior, mat)
-    m_type = select_cols(scene.mat_type, mat)
-    # GGX extension types (rough conductor/plastic/dielectric — the
-    # reference's TODO materials); None keeps the parity math untouched
-    m_rough = (select_cols(scene.mat_roughness, mat)
-               if scene.mat_roughness is not None else None)
 
     hp, hn = hit.pos, hit.normal
 

@@ -51,7 +51,8 @@ class Renderer:
         occl_leaf = self.cfg.occlusion_leaf_size
         self.layout = (
             None if self.cfg.intersector == "brute"
-            else build_layout(self.scene, leaf_size=leaf, builder=builder)
+            else build_layout(self.scene, leaf_size=leaf, builder=builder,
+                              bake_materials=self.cfg.bake_materials)
         )
         # occlusion queries get their own (small-leaf) layout when configured
         self.layout_occl = (
