@@ -70,9 +70,11 @@ def main() -> None:
                     help="samples per frame (fused into one wavefront; >1 "
                          "raises traced Mrays/s via wavefront density — see "
                          "docs/ROADMAP.md — but the headline config is 1)")
-    ap.add_argument("--bake-materials", action="store_true", default=None,
-                    help="override cfg.bake_materials (A/B the baked-row "
-                         "material resolve)")
+    ap.add_argument("--bake-materials", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="override cfg.bake_materials either way (A/B the "
+                         "baked-row material resolve; --no-bake-materials "
+                         "forces the select-chain path)")
     args = ap.parse_args()
     _device_watchdog(args.spp)
 

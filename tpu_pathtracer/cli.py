@@ -165,6 +165,18 @@ def main(argv=None) -> int:
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,
     )
+    if (cfg.spectrum_samples > 3 and cfg.hero_wavelengths == 0
+            and cfg.sort_rays and cfg.intersector == "bvh"
+            and not args.no_pallas and args.platform != "cpu"):
+        # The TPU variadic-sort lowering's compile time is super-linear in
+        # operand count (27+ operands effectively never finishes); the
+        # shadow-carrying bounce sort is 24 operands at S=3 and grows ~3 per
+        # extra bin, so full-spectral tracing must pack bins via --hero.
+        sys.exit(
+            f"--spectrum {cfg.spectrum_samples} without --hero would push the "
+            "TPU bounce sort past the variadic-sort compile wall (see "
+            "docs/ROADMAP.md); pass --hero 3 (hero-wavelength sampling) or "
+            "--platform cpu")
     scene = args.scene
     if args.env or args.dispersion is not None or args.rough_materials:
         from .scene import attach_dispersion, attach_env, load_scene, scene_path

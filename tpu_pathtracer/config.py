@@ -201,6 +201,21 @@ class RenderConfig:
     # is full or an image/HUD read needs the data.
     frames_in_flight: int = 3
 
+    def __post_init__(self):
+        # Enum-like string knobs fail loudly on typos: a silently-ignored
+        # "On"/"true" would invalidate the A/B measurement it was set for.
+        checks = {
+            "occlusion_anyhit": ("on", "off", "auto"),
+            "tritest": ("bw", "mt"),
+            "traversal_kernel": ("window", "minwalk"),
+            "sampler": ("prng", "r2"),
+            "intersector": ("bvh", "brute"),
+        }
+        for field, allowed in checks.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"{field}={v!r}: expected one of {allowed}")
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -27,6 +27,18 @@ def constant(value: float, shape=(), samples: int = SPECTRUM_SAMPLES) -> jnp.nda
     return jnp.full((*shape, samples), value, jnp.float32)
 
 
+def apply_bins(vals: jnp.ndarray, bins) -> jnp.ndarray:
+    """(S, N) per-lane spectra -> (C, N) hero-wavelength view: each lane reads
+    only its ``bins`` (C, N) wavelength bins; identity when bins is None.
+    The single definition shared by material, env-light and texture reads."""
+    if bins is None:
+        return vals
+    out = jnp.zeros(bins.shape, jnp.float32)
+    for s in range(vals.shape[0]):
+        out = jnp.where(bins == s, vals[s][None, :], out)
+    return out
+
+
 def from_rgb(rgb, samples: int = SPECTRUM_SAMPLES) -> jnp.ndarray:
     """Lift an RGB triple to an S-sample spectrum.
 

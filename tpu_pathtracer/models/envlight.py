@@ -145,11 +145,9 @@ def _read(env: EnvLight, idx, bins):
     eh, ew = env.pdf_sa.shape
     s = env.radiance.shape[0]
     rad = jnp.take(env.radiance.reshape(s, eh * ew), idx, axis=1)
-    if bins is not None:
-        out = jnp.zeros(bins.shape, jnp.float32)
-        for b in range(s):
-            out = jnp.where(bins == b, rad[b][None, :], out)
-        rad = out
+    from ..core.spectrum import apply_bins
+
+    rad = apply_bins(rad, bins)
     pdf = jnp.take(env.pdf_sa.reshape(eh * ew), idx)
     return rad, pdf
 

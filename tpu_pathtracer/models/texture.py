@@ -77,9 +77,4 @@ def diffuse_modulation(scene, tri, u, v, mat, bins, samples: int) -> jnp.ndarray
     tex_idx = select_cols(scene.mat_tex, mat)
     rgb = sample_bilinear(scene.textures, tex_idx, uv)       # (3, N)
     s = spec.from_rgb(rgb.T, samples).T                      # (S, N)
-    if bins is None:
-        return s
-    out = jnp.zeros(bins.shape, jnp.float32)
-    for b in range(s.shape[0]):
-        out = jnp.where(bins == b, s[b][None, :], out)
-    return out
+    return spec.apply_bins(s, bins)

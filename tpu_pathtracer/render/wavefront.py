@@ -38,6 +38,7 @@ from ..config import IOR_AIR, NoiseMode, RenderConfig
 from ..core.geometry import interpolate
 from ..core.math3d import dot, length, where3
 from ..core.sampling import balance_heuristic, barycentric, select_light_index
+from ..core.spectrum import apply_bins
 from ..models import bsdf as bsdf_lib
 from ..models.camera import Camera, generate_rays_flat
 from ..ops.intersect import HitShade, intersect_brute, shade_from_scene
@@ -104,21 +105,10 @@ def initial_path_state(
     )
 
 
-def _apply_bins(vals: jnp.ndarray, bins) -> jnp.ndarray:
-    """(S, N) per-lane spectra -> (C, N) hero-bin view (``bins`` (C, N): each
-    lane reads only its C wavelength bins); identity when bins is None."""
-    if bins is None:
-        return vals
-    out = jnp.zeros(bins.shape, jnp.float32)
-    for s in range(vals.shape[0]):
-        out = jnp.where(bins == s, vals[s][None, :], out)
-    return out
-
-
 def select_spectrum(table: jnp.ndarray, idx: jnp.ndarray, bins) -> jnp.ndarray:
     """Spectral table lookup: (S, M) x (N,) -> (S, N), or (C, N) under hero
     sampling."""
-    return _apply_bins(select_cols(table, idx), bins)
+    return apply_bins(select_cols(table, idx), bins)
 
 
 def _morton5(q: jnp.ndarray) -> jnp.ndarray:
@@ -374,8 +364,8 @@ def trace_bounce(
         # cfg.bake_materials: the resolve row gather already delivered this
         # lane's material constants (accel/layout.py triswide) — no chains.
         # Sentinel-row lanes read zeros; every consumer is valid-masked.
-        m_diffuse = _apply_bins(hit.mataux["diffuse"], state.bins)
-        m_emissive = _apply_bins(hit.mataux["emissive"], state.bins)
+        m_diffuse = apply_bins(hit.mataux["diffuse"], state.bins)
+        m_emissive = apply_bins(hit.mataux["emissive"], state.bins)
         m_ior = hit.mataux["ior"]
         m_type = hit.mataux["mtype"]
         m_rough = hit.mataux.get("rough")

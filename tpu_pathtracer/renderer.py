@@ -75,6 +75,11 @@ class Renderer:
 
             if camera is not None:
                 raise NotImplementedError("mesh + custom camera not wired yet")
+            if self.cfg.row_tiles > 1:
+                # the distributed step shards rows across the mesh already and
+                # does not consult row_tiles; failing beats silently ignoring
+                # an HBM-bounding flag (bound memory via fuse_samples instead)
+                raise NotImplementedError("mesh + row_tiles not wired yet")
             # each shard gets the SAME intersection pipeline the single-chip
             # path uses (BVH layouts ride in as replicated closure constants;
             # without a factory the distributed step falls back to brute)

@@ -68,7 +68,7 @@ def parse_mtl(path: str) -> dict:
                 vals = tuple(float(v) for v in parts[1:4])
                 if len(vals) == 3:
                     setattr(current, key.lower(), vals)
-            elif current is not None and key == "map_Kd":
+            elif current is not None and key.lower() == "map_kd":
                 # last token is the filename (options like -o are ignored)
                 current.map_kd = os.path.join(base_dir, parts[-1])
     return records
