@@ -17,10 +17,16 @@ import argparse
 import json
 import time
 
+import os
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_pt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS"):
+    # the site hook's eagerly-registered TPU plugin overrides the env var;
+    # the config API wins (JAX_PLATFORMS=cpu = CPU smoke runs of the bench)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np  # noqa: E402
 
@@ -75,6 +81,11 @@ def main() -> None:
                     help="override cfg.bake_materials either way (A/B the "
                          "baked-row material resolve; --no-bake-materials "
                          "forces the select-chain path)")
+    ap.add_argument("--progressive", action="store_true",
+                    help="also measure BASELINE.json's secondary metric — "
+                         "progressive spp/sec on the cornellbox scene at the "
+                         "same resolution (costs one extra compile; opt-in "
+                         "so the driver's headline run stays bounded)")
     args = ap.parse_args()
     _device_watchdog(args.spp)
 
@@ -139,6 +150,24 @@ def main() -> None:
         "finite": bool(np.isfinite(img).all()),
         "image_mean": round(float(img.mean()), 5),
     }
+
+    if args.progressive:
+        rc = Renderer("cornellbox", width=args.width, height=args.height,
+                      cfg=cfg)
+        for _ in range(args.warmup):
+            rc.step()
+        rc.sync()
+        ct = []
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            rc.step()
+            rc.sync()
+            ct.append(time.perf_counter() - t0)
+        result["cornellbox_spp_per_sec"] = round(
+            args.spp / float(np.median(ct)), 4)
+        result["cornellbox_ms_per_frame"] = round(
+            float(np.median(ct)) * 1e3, 3)
+
     print(json.dumps(result))
 
 
