@@ -247,3 +247,83 @@ Ks 1 0 0
     assert np.isfinite(ib).all() and ib.min() >= 0.0
     # the tilted pane bends transmitted rays: the view through it changes
     assert np.abs(ia - ib).max() > 0.05
+
+
+def test_refract_transmits_through_pane():
+    """Regression: a Snell-mode transmitted ray must actually PASS the
+    interface.  Before the signed origin offset, the new origin was pushed
+    back to the incident side (+n), so the transmitted ray re-hit its own
+    pane every bounce (t = eps/|cos| survives the kill rule) and looped
+    there until max bounces — an emissive floor under a glass pane rendered
+    near-black through the glass."""
+    import tempfile
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render import init_state, render_frame_jit
+    from tpu_pathtracer.scene import load_scene
+
+    # emissive wall at z=-5 facing the camera (which sits at (0,1,2.35)
+    # looking -z); a CLOSED vertical glass slab (front z=-2, back z=-2.3,
+    # outward normals) covers the x<0 half, so one image half sees the wall
+    # THROUGH the slab and the other directly.  A closed slab makes the
+    # (eta_i/eta_t)^2 radiance factors cancel: through-slab brightness is
+    # just the double fresnel loss (~0.92 of direct).
+    obj = """
+mtllib pane.mtl
+v -9 -9 -5
+v  9 -9 -5
+v  9  9 -5
+v -9  9 -5
+v -9 -9 -2
+v  0 -9 -2
+v  0  9 -2
+v -9  9 -2
+v -9 -9 -2.3
+v  0 -9 -2.3
+v  0  9 -2.3
+v -9  9 -2.3
+vn 0 0 1
+vn 0 0 -1
+usemtl lamp
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+usemtl glass
+f 5//1 6//1 7//1
+f 5//1 7//1 8//1
+f 9//2 10//2 11//2
+f 9//2 11//2 12//2
+"""
+    mtl = """
+newmtl lamp
+Kd 0 0 0
+Ka 2 2 2
+Ks 1 0 0
+newmtl glass
+Kd 1 1 1
+Ka 0 0 0
+Ks 0 0 1.5
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/pane.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/pane.mtl", "w") as fh:
+        fh.write(mtl)
+    scene = load_scene(f"{d}/pane.obj")
+
+    cfg = RenderConfig(samples_per_frame=8, max_path_length=4,
+                       intersector="brute", reference_quirks=False,
+                       refract_dielectric=True)
+    st = init_state(16, 32)
+    for _ in range(2):
+        st = render_frame_jit(st, scene, cfg)
+    img = np.asarray(st.accum)  # (16, 32, 3)
+    lum = img.mean(axis=2)
+    # one image half is through-pane, the other direct (orientation-agnostic:
+    # compare the two halves' means)
+    a = lum[:, : lum.shape[1] // 2].mean()
+    b = lum[:, lum.shape[1] // 2:].mean()
+    assert max(a, b) > 0.5, "direct wall view must be lit"
+    # near-normal fresnel loss is ~4% per interface: the through-pane half
+    # must stay within ~25% of the direct half (the pre-fix loop rendered
+    # it near-black: ratio < 0.1)
+    assert min(a, b) > 0.75 * max(a, b)

@@ -225,7 +225,14 @@ def dfs_layout(
     m8 = max(-(-m // 32) * 32, 32)  # window kernel supports widths up to 32
     nodes8 = np.zeros((m8, 8), np.float32)
     nodes8[:m] = nodes
-    nodes8[m:, 0:3] = 1e30   # inverted boxes: never hit
+    # Pad rows: an inverted box.  NOTE this does NOT reject every direction
+    # sign combination (mixed signs can still pass the slab test — see the
+    # leafbox comment below); safety for pad rows rests on the kernel's
+    # invariants instead: a done lane (cur >= sentinel m) can drift at most
+    # +window rows per the chain loop (meta4 carries +8 pad rows for
+    # exactly this), pad rows have count == 0 so they are never "leaves",
+    # and no triangle row's leaf id can equal a drifted cursor.
+    nodes8[m:, 0:3] = 1e30
     nodes8[m:, 3:6] = -1e30
     # tri_start[n]: first DFS-ordered triangle at-or-after node n
     tri_start = np.full(m8 + 8, num_tris, np.int32)

@@ -67,7 +67,13 @@ def balance_heuristic(f_pdf: jnp.ndarray, g_pdf: jnp.ndarray) -> jnp.ndarray:
     (beta=2): f^2 / (f^2 + g^2) (reference: renderer/Raytracing.h:173-178)."""
     f2 = f_pdf * f_pdf
     g2 = g_pdf * g_pdf
-    return f2 / (f2 + g2)
+    d = f2 + g2
+    # d == 0 is reachable on extension lanes (a grazing GGX bounce whose
+    # VNDF pdf underflows to 0 competing with a zero light pdf): 0/0 would
+    # poison the accumulator; weight 0 is correct (contribution is gated on
+    # the pdfs elsewhere).  Unreachable for the reference's own materials
+    # (its only finite pdf, diffuse cos/pi, is strictly positive).
+    return jnp.where(d > 0.0, f2 / jnp.where(d > 0.0, d, 1.0), 0.0)
 
 
 def barycentric(smp: jnp.ndarray) -> jnp.ndarray:

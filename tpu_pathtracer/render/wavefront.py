@@ -193,6 +193,16 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
     samples = state.throughput.shape[0]
     bin_planes = _pack_bins(state.bins)
     nb = len(bin_planes)
+    # TPU variadic-sort compile time is super-linear in operand count (11
+    # planes ~106 s, 18 ~248 s, 27+ effectively never finishes); fail fast
+    # instead of hanging the first compile for hours.  CPU lowering is fine.
+    n_ops = 2 + (10 + 2 * samples if pack is None else 13 + 3 * samples) + nb
+    if n_ops > 26 and jax.default_backend() not in ("cpu",):
+        raise RuntimeError(
+            f"wavefront sort would need {n_ops} lax.sort operands; the TPU "
+            "variadic-sort lowering's compile time explodes past ~26.  Bound "
+            "the per-lane spectrum with hero-wavelength sampling "
+            "(cfg.hero_wavelengths <= 3), or disable cfg.sort_rays.")
     if pack is None:
         planes = [
             state.origin[0], state.origin[1], state.origin[2],
@@ -286,7 +296,11 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
     range-pruned walks; fat leaves win for nearest-hit — config.py)."""
     if cfg.intersector == "brute" or lay is None:
         return make_brute_intersector(scene)
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # Mosaic kernels need a TPU-family backend (incl. the tunneled-relay
+    # platform, whose name differs from plain "tpu").  CPU and GPU backends
+    # take the pure-JAX fallback — the Pallas TPU kernels cannot lower on
+    # either.
+    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
     if cfg.use_pallas and on_tpu:
         from ..ops.pallas_traverse import make_pallas_intersector
 
@@ -560,8 +574,18 @@ def trace_bounce(
             m_type, m_ior, m_ior_bins, w_i, hn, lobe_u, state.ior
         )
 
+    origin_off = hn * eps
+    if cfg.refract_dielectric:
+        # Snell-mode transmitted lanes leave on the FAR side of the surface:
+        # offset the new origin toward the outgoing direction's side, or the
+        # transmitted ray re-intersects its own interface (t = eps/|cos| >=
+        # eps survives the kill rule) and loops there until max bounces.
+        # Parity mode keeps the reference's unconditional +n offset verbatim
+        # (renderer/Shaders.metal:205) — its straight-through dielectric
+        # shares that re-hit quirk by construction.
+        origin_off = jnp.where(dot(w_o, hn) < 0.0, -eps, eps)[None] * hn
     new_state = PathState(
-        origin=where3(valid, hp + hn * eps, state.origin),
+        origin=where3(valid, hp + origin_off, state.origin),
         direction=where3(valid, w_o, state.direction),
         throughput=where3(valid, state.throughput * throughput_scale,
                           state.throughput),
