@@ -83,8 +83,15 @@ struct Builder {
     return id;
   }
 
+  // Past this depth the binned-SAH split is replaced by a median split:
+  // pathological centroid distributions can otherwise produce 1/(n-1)
+  // splits every level (O(T) recursion depth -> native stack overflow on
+  // multi-million-triangle scenes); a forced median bounds total depth at
+  // kForceMedianDepth + log2(T).
+  static constexpr int kForceMedianDepth = 48;
+
   // returns node id for range [lo, lo+n)
-  int32_t build_range(int32_t lo, int32_t n) {
+  int32_t build_range(int32_t lo, int32_t n, int depth = 0) {
     AABB box;
     AABB cbox;
     for (int32_t i = lo; i < lo + n; ++i) {
@@ -108,8 +115,8 @@ struct Builder {
     const float clo = axis == 0 ? cbox.lo.x : (axis == 1 ? cbox.lo.y : cbox.lo.z);
 
     int32_t mid;
-    if (extent <= 1e-12f) {
-      mid = lo + n / 2;  // degenerate: median split
+    if (extent <= 1e-12f || depth >= kForceMedianDepth) {
+      mid = lo + n / 2;  // degenerate or too deep: median split
     } else {
       // binned SAH
       AABB bins[kBins];
@@ -169,8 +176,8 @@ struct Builder {
       }
     }
 
-    const int32_t l = build_range(lo, mid - lo);
-    const int32_t r = build_range(mid, lo + n - mid);
+    const int32_t l = build_range(lo, mid - lo, depth + 1);
+    const int32_t r = build_range(mid, lo + n - mid, depth + 1);
     left[node] = l;
     right[node] = r;
     return node;

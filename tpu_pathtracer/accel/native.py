@@ -27,26 +27,41 @@ _NATIVE_DIR = os.path.join(
     "native",
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libtpupt.so")
-_lib = None
+_SRC_PATH = os.path.join(_NATIVE_DIR, "sah_bvh.cc")
+_lib = None  # None = untried; False = known-unavailable; CDLL = loaded
+
+
+def _stale() -> bool:
+    """The .so is a local build artifact (never committed): rebuild when the
+    source is newer so edits to sah_bvh.cc cannot silently keep running the
+    old binary."""
+    try:
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
 
 
 def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH):
+        return _lib or None  # False (cached failure) -> None
+    if not os.path.exists(_LIB_PATH) or _stale():
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR, "-B"],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception as exc:  # no toolchain / build failure -> fallback
             log.warning("native builder unavailable (%s); using LBVH", exc)
+            # cache the failure: a bench sweep must not pay a fresh failed
+            # `make` subprocess (up to the 120 s timeout) per build_layout
+            _lib = False
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as exc:
         log.warning("could not load %s (%s); using LBVH", _LIB_PATH, exc)
+        _lib = False
         return None
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -60,6 +60,12 @@ def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
     version = struct.unpack("<I", data[4:8])[0]
     if version & 0x200:
         raise ValueError(f"{path}: tiled EXRs not supported")
+    if version & 0x800:
+        raise ValueError(f"{path}: deep-data EXRs not supported")
+    if version & 0x1000:
+        # a multipart header would be silently misparsed (the second part's
+        # header bytes would read as the offset table) — reject loudly
+        raise ValueError(f"{path}: multipart EXRs not supported")
 
     off = 8
     channels: list[tuple[str, int]] = []
@@ -86,6 +92,13 @@ def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
                 cname = val[p:e].decode()
                 p = e + 1
                 ptype = struct.unpack("<i", val[p : p + 4])[0]
+                xs, ys = struct.unpack("<2i", val[p + 8 : p + 16])
+                if (xs, ys) != (1, 1):
+                    # subsampled (luminance-chroma) layouts would decode to
+                    # garbage under the full-width row math below
+                    raise ValueError(
+                        f"{path}: subsampled channel {cname!r} "
+                        f"(sampling {xs}x{ys}) not supported")
                 p += 16  # pixel type + pLinear/reserved + x/y sampling
                 channels.append((cname, ptype))
         elif attr_type == "compression":
