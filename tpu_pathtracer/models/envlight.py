@@ -99,6 +99,7 @@ def build_env(
     )
     weight = np.maximum(lum, 0.0) * domega_row[:, None]
     total = weight.sum()
+    env_power = float(total)  # true emitted power (0 for a black map)
     if total <= 0.0:
         # black/constant-zero map: uniform sampling keeps the pdf valid
         weight = np.ones_like(weight) * domega_row[:, None]
@@ -107,7 +108,6 @@ def build_env(
     pdf_sa = pdf_texel / np.maximum(domega_row[:, None], 1e-12)
     prob, alias = _vose_alias(pdf_texel.reshape(-1).astype(np.float64))
 
-    env_power = float((np.maximum(lum, 0.0) * domega_row[:, None]).sum())
     if select_p is None:
         if area_light_power > 0.0:
             select_p = float(

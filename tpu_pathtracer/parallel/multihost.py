@@ -31,16 +31,28 @@ def make_multihost_mesh(n_spp: int = 1, devices=None):
     within one process — the collective stays on ICI, never DCN.
     """
     devices = list(devices if devices is not None else jax.devices())
-    local = max(
-        len([d for d in devices if d.process_index == p])
-        for p in {d.process_index for d in devices}
-    )
-    if n_spp > 1 and local % n_spp:
-        raise ValueError(
-            f"n_spp={n_spp} must divide the per-process device count "
-            f"({local}) so the sample psum stays on ICI; "
-            "use a smaller n_spp or shard samples across hosts explicitly"
-        )
+    # The ICI-only guarantee needs (a) the device list grouped by process so
+    # reshape rows never straddle hosts, and (b) EVERY process's count
+    # divisible by n_spp (a max-only check would let a host with a
+    # non-divisible count leak its spp group onto DCN, or idle its tail).
+    counts: dict[int, int] = {}
+    last = None
+    for d in devices:
+        p = d.process_index
+        if p != last and p in counts:
+            raise ValueError(
+                "device list must be process-contiguous (grouped by "
+                "process_index) for the spp psum to stay on ICI")
+        counts[p] = counts.get(p, 0) + 1
+        last = p
+    if n_spp > 1:
+        bad = {p: c for p, c in counts.items() if c % n_spp}
+        if bad:
+            raise ValueError(
+                f"n_spp={n_spp} must divide EVERY process's device count "
+                f"(violated by process:count {bad}) so the sample psum "
+                "stays on ICI; use a smaller n_spp or shard samples "
+                "across hosts explicitly")
     return make_mesh(len(devices) // n_spp, n_spp, devices=devices)
 
 

@@ -39,6 +39,14 @@ def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_tiles is None:
         n_tiles = len(devices) // n_spp
+        dropped = len(devices) - n_tiles * n_spp
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mesh uses %d of %d devices (%d idle: n_spp=%d does not "
+                "divide the device count)",
+                n_tiles * n_spp, len(devices), dropped, n_spp)
     if n_tiles < 1 or n_spp < 1:
         raise ValueError(f"mesh axes must be >= 1, got tiles={n_tiles} spp={n_spp}")
     use = n_tiles * n_spp

@@ -91,13 +91,20 @@ class ViewerServer:
                         if cached is not None and cached[0] == count:
                             self._send(200, "image/png", cached[1])
                         else:
+                            # grab + encode + cache-fill under ONE lock hold
+                            # (a racing poller could otherwise overwrite the
+                            # cache with an OLDER frame and force re-grabs)
                             with viewer.lock:
                                 count = viewer.renderer._frame_count
-                                img = viewer.renderer.image(
-                                    tonemapped=True, rgb=True
-                                )
-                            body = png_bytes(img)
-                            viewer._png_cache = (count, body)
+                                cached = viewer._png_cache
+                                if cached is not None and cached[0] == count:
+                                    body = cached[1]
+                                else:
+                                    img = viewer.renderer.image(
+                                        tonemapped=True, rgb=True
+                                    )
+                                    body = png_bytes(img)
+                                    viewer._png_cache = (count, body)
                             self._send(200, "image/png", body)
                     elif path == "/stats.json":
                         with viewer.lock:
@@ -124,11 +131,16 @@ class ViewerServer:
     def start(self) -> None:
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
+        self._started = True
 
     def stop(self) -> None:
         """Stop both the render loop and the HTTP server (idempotent)."""
         self._stop.set()
-        self._httpd.shutdown()
+        if getattr(self, "_started", False):
+            # shutdown() deadlocks unless serve_forever() is running
+            # (stdlib contract) — only call it after start()
+            self._started = False
+            self._httpd.shutdown()
         self._httpd.server_close()
 
     def serve_while_rendering(self, frames: int = 0) -> None:
