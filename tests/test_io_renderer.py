@@ -178,3 +178,30 @@ def test_checkpoint_orbax_sharded_accumulator(tmp_path):
         np.asarray(jax.random.key_data(back.key)),
         np.asarray(jax.random.key_data(state.key)),
     )
+
+
+def test_downsample_upscale_no_nan():
+    """Regression: target dims larger than the source (the default 960x540
+    render vs 800x600 goldens) left empty bins -> NaN columns."""
+    from tpu_pathtracer.utils.compare import downsample
+
+    src = np.random.default_rng(3).random((600, 800, 3)).astype(np.float32)
+    for h, w in [(540, 960), (1080, 1920), (700, 640), (300, 400)]:
+        out = downsample(src, h, w)
+        assert out.shape == (h, w, 3)
+        assert np.isfinite(out).all(), (h, w)
+    # pure shrink stays an exact box mean
+    np.testing.assert_allclose(
+        downsample(src, 300, 400),
+        src.reshape(300, 2, 400, 2, 3).mean(axis=(1, 3)), rtol=1e-6)
+
+
+def test_metrics_masked_golden_nan():
+    """A non-finite golden pixel must not leak NaN into rel_mse."""
+    from tpu_pathtracer.utils.compare import metrics
+
+    img = np.ones((16, 16, 3))
+    gold = np.ones((16, 16, 3))
+    gold[3, 4, 1] = np.nan
+    m = metrics(img, gold)
+    assert np.isfinite(m["rel_mse"]) and np.isfinite(m["rmse"])

@@ -91,6 +91,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "an Orbax directory with per-shard arrays)")
     p.add_argument("--resume", help="resume from a checkpoint (either backend)")
     p.add_argument("--compare-mode", type=int, default=0,
+                   choices=range(5),
                    help="0=off 1=abs 2=ref-color 3=color-ref 4=luminance")
     p.add_argument("--compare-scale", type=float, default=10.0)
     p.add_argument("--compare-out", help="write the comparison image (PNG)")
@@ -267,7 +268,7 @@ def main(argv=None) -> int:
 
         gold, _ = read_exr(golden_path(args.scene, args.depth))
         gold = downsample(gold, r.state.height, r.state.width)
-        img = r.image()
+        img = r.image(rgb=True)  # spectral S>3 collapses to the golden's RGB
         diff = comparison_image(
             img, gold, ComparisonMode(args.compare_mode), args.compare_scale
         )

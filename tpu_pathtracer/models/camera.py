@@ -71,12 +71,20 @@ def generate_rays_flat(
     x = cols.astype(jnp.float32)
     y = jnp.float32(full_height - 1) - rows.astype(jnp.float32)  # rows count bottom-up
 
-    du = (jitter[0] * 2.0 - 1.0) / jnp.float32(full_width - 1)
-    dv = (jitter[1] * 2.0 - 1.0) / jnp.float32(full_height - 1)
-    ncx = 2.0 * x / jnp.float32(full_width - 1) - 1.0
-    ncy = 2.0 * y / jnp.float32(full_height - 1) - 1.0
+    # max(dim-1, 1): a 1-pixel axis (possible via --content-scale clamping)
+    # must not divide by zero
+    wm1 = jnp.float32(max(full_width - 1, 1))
+    hm1 = jnp.float32(max(full_height - 1, 1))
+    du = (jitter[0] * 2.0 - 1.0) / wm1
+    dv = (jitter[1] * 2.0 - 1.0) / hm1
+    ncx = 2.0 * x / wm1 - 1.0
+    ncy = 2.0 * y / hm1 - 1.0
 
     dx = du + ncx
+    # NOTE (parity quirk): aspect scales only the pixel coordinate, NOT the
+    # jitter — exactly like the reference (renderer/Shaders.metal:92-98:
+    # `dudv.y + normalizedCoords.y * aspect`), so vertical AA jitter spans
+    # W/H pixels rather than 1.  Deliberate; do not "fix".
     dy = dv + ncy * aspect
     directions = (
         side[:, None] * dx[None, :] + up[:, None] * dy[None, :] + view[:, None]

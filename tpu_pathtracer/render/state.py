@@ -70,6 +70,24 @@ def frame_rng_key(cfg: RenderConfig, key: jnp.ndarray, frame_index) -> jnp.ndarr
     return jax.random.fold_in(key, frame_index)
 
 
+def fuse_schedule(cfg: RenderConfig, sample_count: int):
+    """(fuse, n_chunks, rem): the fused-wavefront chunk walk.  Single source
+    of truth shared by sample_sum and render/stats.count_traced_rays_exact —
+    chunk i traces ``fuse`` samples starting at sample0 = i*fuse, plus one
+    ``rem``-sample tail; diverging copies would silently desynchronize the
+    'exact' benchmark ray counts from the production RNG streams."""
+    fuse = max(1, min(cfg.fuse_samples or 1, sample_count))
+    n_chunks, rem = divmod(sample_count, fuse)
+    return fuse, n_chunks, rem
+
+
+def fused_wavefront_key(frame_key: jnp.ndarray) -> jnp.ndarray:
+    """One key for every fused wavefront; fold_in(.., 0) keeps sample 0's
+    streams byte-identical to the pre-fusion per-sample-fold schedule, so
+    1-spp renders (goldens, self-goldens, checkpoints) are unchanged."""
+    return jax.random.fold_in(frame_key, 0)
+
+
 def sample_sum(
     scene: Scene,
     cfg: RenderConfig,
@@ -110,11 +128,8 @@ def sample_sum(
                 "samples_per_frame * pixels must fit in uint32 for the "
                 "virtual-pixel-id RNG schedule"
             )
-        fuse = max(1, min(cfg.fuse_samples or 1, sample_count))
-        # one key for every fused wavefront; fold_in(.., 0) keeps sample 0's
-        # streams byte-identical to the pre-fusion per-sample-fold schedule,
-        # so 1-spp renders (goldens, self-goldens, checkpoints) are unchanged
-        wkey = jax.random.fold_in(frame_key, 0)
+        fuse, n_chunks, rem = fuse_schedule(cfg, sample_count)
+        wkey = fused_wavefront_key(frame_key)
 
         def run(n, s0):
             return render_sample(
@@ -123,7 +138,6 @@ def sample_sum(
                 samples=n, sample0=s0,
             )
 
-        n_chunks, rem = divmod(sample_count, fuse)
         total = jax.lax.fori_loop(
             0, n_chunks, lambda i, acc: acc + run(fuse, sample0 + i * fuse),
             zeros,

@@ -79,7 +79,7 @@ def count_traced_rays_exact(
     render/state.py:sample_sum) with in-pipeline alive/shadow counters —
     no resolution scaling, no estimator.
     """
-    from ..render.state import frame_rng_key
+    from ..render.state import frame_rng_key, fuse_schedule, fused_wavefront_key
     from ..render.wavefront import render_sample
 
     camera = camera or Camera.reference_default()
@@ -91,18 +91,18 @@ def count_traced_rays_exact(
         frame_key = frame_rng_key(cfg, key, fi)
         total = jnp.float32(0)
         if cfg.noise_mode == NoiseMode.PRNG:
-            # mirror sample_sum's fused-chunk schedule exactly
-            fuse = max(1, min(cfg.fuse_samples or 1, cfg.samples_per_frame))
-            wkey = jax.random.fold_in(frame_key, 0)
-            done = 0
-            while done < cfg.samples_per_frame:
-                m = min(fuse, cfg.samples_per_frame - done)
+            # the SAME schedule helpers sample_sum uses (render/state.py)
+            fuse, n_chunks, rem = fuse_schedule(cfg, cfg.samples_per_frame)
+            wkey = fused_wavefront_key(frame_key)
+            chunks = [(fuse, i * fuse) for i in range(n_chunks)]
+            if rem:
+                chunks.append((rem, n_chunks * fuse))
+            for m, s0 in chunks:
                 _, c = render_sample(
                     scene, cfg, camera, height, width, wkey, fi,
-                    intersect, with_ray_count=True, samples=m, sample0=done,
+                    intersect, with_ray_count=True, samples=m, sample0=s0,
                 )
                 total = total + c
-                done += m
             return total
         for s in range(cfg.samples_per_frame):
             k = jax.random.fold_in(frame_key, s)

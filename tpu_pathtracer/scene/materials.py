@@ -79,9 +79,16 @@ def classify(records: list[MtlRecord],
                 # rough conductor: unimplemented in the reference too
                 # (renderer/Renderer.mm:305 leaves the type unset -> 0 = diffuse)
                 mtype[i] = MATERIAL_DIFFUSE
-                log.warning("material %r: rough conductor unsupported -> "
-                            "diffuse (pass rough_materials=True for GGX)",
-                            rec.name)
+                if rough_materials:
+                    # flag is on but roughness is out of GGX's (0, 1) range
+                    log.warning(
+                        "material %r: metal roughness %.3g outside (0, 1) "
+                        "-> diffuse", rec.name, roughness)
+                else:
+                    log.warning(
+                        "material %r: rough conductor unsupported -> "
+                        "diffuse (pass rough_materials=True for GGX)",
+                        rec.name)
         elif roughness == 1.0:
             mtype[i] = MATERIAL_DIFFUSE
         elif raw_ior <= 0.0:

@@ -29,19 +29,33 @@ def golden_mask(height: int, width: int) -> np.ndarray:
 
 
 def downsample(img: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Box downsample of (H0, W0, C) to (height, width, C).
+    """Resample (H0, W0, C) to (height, width, C).
 
-    Integer factors use an exact box mean; other ratios fall back to
-    bin-averaged resampling (each output pixel averages its source bin).
+    Integer shrink factors use an exact box mean; other shrink ratios
+    bin-average (each output pixel averages its source bin).  An axis that
+    GROWS uses nearest-neighbor index mapping instead — bin-averaging in
+    that direction would leave empty output bins (0/0 -> NaN columns; the
+    default 960x540 render vs the 800x600 goldens hit exactly that).
     """
     h0, w0 = img.shape[:2]
     if (h0, w0) == (height, width):
         return img
+    if height > h0 or width > w0:
+        rows = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+        cols = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+        # shrink the non-growing axis first (if any) via a recursive call
+        if height > h0 and width <= w0:
+            img = downsample(img, h0, width)
+            return img[rows, :]
+        if width > w0 and height <= h0:
+            img = downsample(img, height, w0)
+            return img[:, cols]
+        return img[rows[:, None], cols[None, :]]
     if h0 % height == 0 and w0 % width == 0:
         return img.reshape(
             height, h0 // height, width, w0 // width, *img.shape[2:]
         ).mean(axis=(1, 3))
-    # non-integer ratio: average source rows/cols binned by output index
+    # non-integer shrink: average source rows/cols binned by output index
     row_bin = np.minimum((np.arange(h0) * height) // h0, height - 1)
     col_bin = np.minimum((np.arange(w0) * width) // w0, width - 1)
     out = np.zeros((height, width, *img.shape[2:]), np.float64)
@@ -62,7 +76,10 @@ def metrics(image: np.ndarray, golden: np.ndarray, mask: np.ndarray | None = Non
     diff = np.where(m, image - golden, 0.0)
     n = m.sum()
     mse = (diff**2).sum() / n
-    rel_mse = ((diff**2) / (golden**2 + 1e-2)).sum() / n
+    # denominator must also be masked: 0 / NaN = NaN would leak a single
+    # non-finite golden pixel into the total despite the mask
+    gden = np.where(m, golden, 0.0)
+    rel_mse = ((diff**2) / (gden**2 + 1e-2)).sum() / n
     mean_ratio = np.where(m, image, 0.0).sum() / max(np.where(m, golden, 0.0).sum(), 1e-12)
     return {
         "rmse": float(np.sqrt(mse)),
