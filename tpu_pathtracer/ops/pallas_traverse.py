@@ -44,6 +44,65 @@ from .traverse import safe_inverse
 DEFAULT_TILE = 1536
 
 
+def _mt_row(trow, o, d, t_min):
+    """Moller-Trumbore: ONE broadcast triangle row [p0.xyz, e1.xyz, e2.xyz,
+    ...] against the tile's lane vectors -> (geo_ok, t, u, v).
+
+    ``geo_ok`` is the geometric acceptance (det != 0, 0 <= u, 0 <= v,
+    u+v <= 1, t > t_min); callers AND in their own participation and best_t
+    predicates.  The single definition shared by the v1 prepass, the v1
+    leaf loop and the any-hit occlusion leaf loop — intricate predicated
+    intersection math must not drift between copies.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    px = dy * trow[8] - dz * trow[7]
+    py = dz * trow[6] - dx * trow[8]
+    pz = dx * trow[7] - dy * trow[6]
+    det = trow[3] * px + trow[4] * py + trow[5] * pz
+    inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    tx = ox - trow[0]
+    ty = oy - trow[1]
+    tz = oz - trow[2]
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * trow[5] - tz * trow[4]
+    qy = tz * trow[3] - tx * trow[5]
+    qz = tx * trow[4] - ty * trow[3]
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
+    geo = (
+        (det != 0.0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (tt > t_min)
+    )
+    return geo, tt, u, v
+
+
+def _slab_row(row, o, inv):
+    """ONE node row [bmin.xyz, bmax.xyz, ...] against the tile's lane
+    vectors -> (enter, exit).  Shared by the v1 walk and the any-hit
+    occlusion walk (the window kernel keeps its (W, TILE) vector form)."""
+    ox, oy, oz = o
+    ix, iy, iz = inv
+    t0x = (row[0] - ox) * ix
+    t1x = (row[3] - ox) * ix
+    t0y = (row[1] - oy) * iy
+    t1y = (row[4] - oy) * iy
+    t0z = (row[2] - oz) * iz
+    t1z = (row[5] - oz) * iz
+    enter = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    exit_ = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    return enter, exit_
+
+
 def _traverse_kernel(
     rays_ref,      # (8, TILE) f32: ox oy oz dx dy dz active t_max
     nodes_ref,     # (M, 8) f32 VMEM
@@ -90,29 +149,8 @@ def _traverse_kernel(
     # primed best_t culls the subtrees behind it during the walk.
     for k in range(n_prepass):
         trow = pre_ref[k, :]
-        px = dy * trow[8] - dz * trow[7]
-        py = dz * trow[6] - dx * trow[8]
-        pz = dx * trow[7] - dy * trow[6]
-        det = trow[3] * px + trow[4] * py + trow[5] * pz
-        inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
-        tx = ox - trow[0]
-        ty = oy - trow[1]
-        tz = oz - trow[2]
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * trow[5] - tz * trow[4]
-        qy = tz * trow[3] - tx * trow[5]
-        qz = tx * trow[4] - ty * trow[3]
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
-        ok = (
-            act
-            & (det != 0.0)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (tt > t_min)
-            & (tt < best_t0)
-        )
+        geo, tt, u, v = _mt_row(trow, (ox, oy, oz), (dx, dy, dz), t_min)
+        ok = act & geo & (tt < best_t0)
         best_t0 = jnp.where(ok, tt, best_t0)
         best_i0 = jnp.where(ok, trow[21].astype(jnp.int32), best_i0)
         best_u0 = jnp.where(ok, u, best_u0)
@@ -133,20 +171,7 @@ def _traverse_kernel(
         row = nodes_ref[node, :]
         mask = cur == node
 
-        t0x = (row[0] - ox) * ix
-        t1x = (row[3] - ox) * ix
-        t0y = (row[1] - oy) * iy
-        t1y = (row[4] - oy) * iy
-        t0z = (row[2] - oz) * iz
-        t1z = (row[5] - oz) * iz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
+        enter, exit_ = _slab_row(row, (ox, oy, oz), (ix, iy, iz))
         hit_box = mask & (enter <= exit_) & (exit_ > t_min) & (enter < best_t)
 
         miss_link = meta_ref[node, 0]
@@ -159,31 +184,8 @@ def _traverse_kernel(
             on = is_leaf & (k < count)
             tri = jnp.minimum(first + k, num_tris)
             trow = tris_ref[tri, :]
-            # Moller-Trumbore against one broadcast triangle
-            px = dy * trow[8] - dz * trow[7]
-            py = dz * trow[6] - dx * trow[8]
-            pz = dx * trow[7] - dy * trow[6]
-            det = trow[3] * px + trow[4] * py + trow[5] * pz
-            inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
-            tx = ox - trow[0]
-            ty = oy - trow[1]
-            tz = oz - trow[2]
-            u = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * trow[5] - tz * trow[4]
-            qy = tz * trow[3] - tx * trow[5]
-            qz = tx * trow[4] - ty * trow[3]
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
-            ok = (
-                on
-                & hit_box
-                & (det != 0.0)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > t_min)
-                & (tt < best_t)
-            )
+            geo, tt, u, v = _mt_row(trow, (ox, oy, oz), (dx, dy, dz), t_min)
+            ok = on & hit_box & geo & (tt < best_t)
             best_t = jnp.where(ok, tt, best_t)
             best_i = jnp.where(ok, tri, best_i)
             best_u = jnp.where(ok, u, best_u)
@@ -333,20 +335,7 @@ def _occlusion_anyhit_kernel(
         row = nodes_ref[node, :]
         mask = cur == node
 
-        t0x = (row[0] - ox) * ix
-        t1x = (row[3] - ox) * ix
-        t0y = (row[1] - oy) * iy
-        t1y = (row[4] - oy) * iy
-        t0z = (row[2] - oz) * iz
-        t1z = (row[5] - oz) * iz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
+        enter, exit_ = _slab_row(row, (ox, oy, oz), (ix, iy, iz))
         hit_box = mask & (enter <= exit_) & (exit_ > t_min) & (enter < cap)
 
         miss_link = meta_ref[node, 0]
@@ -359,29 +348,8 @@ def _occlusion_anyhit_kernel(
             on = is_leaf & (k < count)
             tri = jnp.minimum(first + k, num_tris)
             trow = tris_ref[tri, :]
-            px = dy * trow[8] - dz * trow[7]
-            py = dz * trow[6] - dx * trow[8]
-            pz = dx * trow[7] - dy * trow[6]
-            det = trow[3] * px + trow[4] * py + trow[5] * pz
-            inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
-            tx = ox - trow[0]
-            ty = oy - trow[1]
-            tz = oz - trow[2]
-            u = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * trow[5] - tz * trow[4]
-            qy = tz * trow[3] - tx * trow[5]
-            qz = tx * trow[4] - ty * trow[3]
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            tt = (trow[6] * qx + trow[7] * qy + trow[8] * qz) * inv
-            acc = (
-                on
-                & hit_box
-                & (det != 0.0)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > t_min)
-            )
+            geo, tt, _, _ = _mt_row(trow, (ox, oy, oz), (dx, dy, dz), t_min)
+            acc = on & hit_box & geo
             is_tgt = trow[9] == targetf
             occ = jnp.where(acc & (~is_tgt) & (tt < thresh), 1.0, occ)
             tgt = jnp.where(acc & is_tgt & (tt >= eps) & (tt < cap), 1.0, tgt)
@@ -560,28 +528,15 @@ WINDOW = 8
 CHAIN = 4
 
 
-def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
-    """Vectorized Moller-Trumbore: K triangle rows x TILE lanes.
-
-    ``tb``: (K, 24) block; ``pred``: (K, TILE) participation mask;
-    ``best``: (t, u, v, i, orig) lane planes; ``row_ids``: (K, 1) f32 global
-    row index of each block row (becomes best_i).
-
-    ``latch`` selects how block hits fold into the per-lane best record:
-
-    * ``"rows"`` — sequential per-row latch with strict ``<`` (the v1 order).
-    * ``"argmin"`` — one vectorized min-reduce over the block plus a
-      lowest-row tie-break, which picks the same winner as the sequential
-      strict-< latch (first of equal-t rows) in ~1/3 the vector ops; all ops
-      stay (K, TILE)-shaped instead of K separate (TILE,) row ops.
-    """
+def _mt_block(tb, pred, dxyz, oxyz, t_min):
+    """Vectorized Moller-Trumbore: (K, 24) triangle rows x TILE lanes ->
+    (ok, t, u, v), all (K, TILE).  The single block-MT definition shared by
+    :func:`_mt8` and :func:`_hit8`'s "mt" branch."""
     ox, oy, oz = oxyz
     dx, dy, dz = dxyz
-    best_t, best_u, best_v, best_i, best_orig = best
     p0x, p0y, p0z = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3]
     e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
     e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
-    orig8 = tb[:, 9:10]
     pvx = dy * e2z - dz * e2y            # (K, TILE)
     pvy = dz * e2x - dx * e2z
     pvz = dx * e2y - dy * e2x
@@ -604,6 +559,44 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
         & (u + v <= 1.0)
         & (tt > t_min)
     )
+    return ok, tt, u, v
+
+
+def _argmin_pick(ok, tt, best_t, k):
+    """One vectorized min-reduce over a (K, TILE) block plus a lowest-row
+    tie-break — picks the same winner as the sequential strict-< latch
+    (first of equal-t rows) in ~1/3 the vector ops.  Returns (upd, tmin,
+    pick) where ``pick(x)`` selects the winning row's values per lane."""
+    big = jnp.float32(jnp.inf)
+    ttm = jnp.where(ok & (tt < best_t[None, :]), tt, big)   # (K, TILE)
+    tmin = jnp.min(ttm, axis=0)                             # (TILE,)
+    upd = tmin < best_t
+    posf = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).astype(jnp.float32)
+    cand = jnp.where(ttm == tmin[None, :], jnp.broadcast_to(posf, ttm.shape), big)
+    pmin = jnp.min(cand, axis=0)                            # winning block row
+    win = cand == pmin[None, :]
+    pick = lambda x: jnp.sum(jnp.where(win, x, 0.0), axis=0)  # noqa: E731
+    return upd, tmin, pick
+
+
+def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
+    """Vectorized Moller-Trumbore: K triangle rows x TILE lanes.
+
+    ``tb``: (K, 24) block; ``pred``: (K, TILE) participation mask;
+    ``best``: (t, u, v, i, orig) lane planes; ``row_ids``: (K, 1) f32 global
+    row index of each block row (becomes best_i).
+
+    ``latch`` selects how block hits fold into the per-lane best record:
+
+    * ``"rows"`` — sequential per-row latch with strict ``<`` (the v1 order).
+    * ``"argmin"`` — one vectorized min-reduce over the block plus a
+      lowest-row tie-break, which picks the same winner as the sequential
+      strict-< latch (first of equal-t rows) in ~1/3 the vector ops; all ops
+      stay (K, TILE)-shaped instead of K separate (TILE,) row ops.
+    """
+    best_t, best_u, best_v, best_i, best_orig = best
+    orig8 = tb[:, 9:10]
+    ok, tt, u, v = _mt_block(tb, pred, dxyz, oxyz, t_min)
     if latch == "rows":
         for j in range(tb.shape[0]):
             okj = ok[j, :] & (tt[j, :] < best_t)
@@ -614,24 +607,15 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
             best_orig = jnp.where(okj, orig8[j, 0], best_orig)
         return best_t, best_u, best_v, best_i, best_orig
 
-    big = jnp.float32(jnp.inf)
-    k = tb.shape[0]
-    ttm = jnp.where(ok & (tt < best_t[None, :]), tt, big)   # (K, TILE)
-    tmin = jnp.min(ttm, axis=0)                             # (TILE,)
-    upd = tmin < best_t
     # lowest-BLOCK-ROW-of-equal-t tie-break == the sequential strict-< latch
     # winner (block order, which for walk blocks is also global-row order)
-    posf = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).astype(jnp.float32)
-    cand = jnp.where(ttm == tmin[None, :], jnp.broadcast_to(posf, ttm.shape), big)
-    pmin = jnp.min(cand, axis=0)                            # winning block row
-    win = cand == pmin[None, :]
-    pick = lambda x: jnp.sum(jnp.where(win, x, 0.0), axis=0)  # noqa: E731
-    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), ttm.shape)
+    upd, tmin, pick = _argmin_pick(ok, tt, best_t, tb.shape[0])
+    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), tt.shape)
     best_t = jnp.where(upd, tmin, best_t)
     best_u = jnp.where(upd, pick(u), best_u)
     best_v = jnp.where(upd, pick(v), best_v)
     best_i = jnp.where(upd, pick(ridf), best_i)
-    best_orig = jnp.where(upd, pick(jnp.broadcast_to(orig8, ttm.shape)), best_orig)
+    best_orig = jnp.where(upd, pick(jnp.broadcast_to(orig8, tt.shape)), best_orig)
     return best_t, best_u, best_v, best_i, best_orig
 
 
@@ -680,51 +664,17 @@ def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
             & (tt > t_min)
         )
     else:
-        p0x, p0y, p0z = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3]
-        e1x, e1y, e1z = tb[:, 3:4], tb[:, 4:5], tb[:, 5:6]
-        e2x, e2y, e2z = tb[:, 6:7], tb[:, 7:8], tb[:, 8:9]
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
-        tx = ox - p0x
-        ty = oy - p0y
-        tz = oz - p0z
-        u = (tx * pvx + ty * pvy + tz * pvz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = (
-            pred
-            & (det != 0.0)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (tt > t_min)
-        )
+        ok, tt, _, _ = _mt_block(tb, pred, dxyz, oxyz, t_min)
     if latch == "rows":
         for j in range(tb.shape[0]):
             okj = ok[j, :] & (tt[j, :] < best_t)
             best_t = jnp.where(okj, tt[j, :], best_t)
             best_i = jnp.where(okj, row_ids[j, 0], best_i)
         return best_t, best_i
-    big = jnp.float32(jnp.inf)
-    ttm = jnp.where(ok & (tt < best_t[None, :]), tt, big)   # (K, TILE)
-    tmin = jnp.min(ttm, axis=0)                             # (TILE,)
-    upd = tmin < best_t
-    k = tb.shape[0]
-    posf = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).astype(jnp.float32)
-    cand = jnp.where(ttm == tmin[None, :], jnp.broadcast_to(posf, ttm.shape), big)
-    pmin = jnp.min(cand, axis=0)                            # winning block row
-    win = cand == pmin[None, :]
-    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), ttm.shape)
+    upd, tmin, pick = _argmin_pick(ok, tt, best_t, tb.shape[0])
+    ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), tt.shape)
     best_t = jnp.where(upd, tmin, best_t)
-    best_i = jnp.where(
-        upd, jnp.sum(jnp.where(win, ridf, 0.0), axis=0), best_i
-    )
+    best_i = jnp.where(upd, pick(ridf), best_i)
     return best_t, best_i
 
 
