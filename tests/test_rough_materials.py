@@ -289,3 +289,72 @@ Ks 0.5 1 0
     floor = img[-8:]
     assert floor.max() < 1.02          # never creates energy
     assert floor.mean() > 0.85         # single-scatter loss only
+
+
+def test_rough_dielectric_transmits_with_refract_offset():
+    """refract_dielectric's signed origin offset also governs ROUGH
+    dielectric straight-through transmission lanes: they must cross the
+    interface instead of looping on it (the smooth-pane regression's rough
+    sibling).  Rough glass scatters the view, so the gate is weaker than
+    the smooth slab's: the through-pane half must carry real energy."""
+    import tempfile
+
+    import numpy as np
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render import init_state, render_frame_jit
+    from tpu_pathtracer.scene import load_scene
+
+    obj = """
+mtllib rpane.mtl
+v -9 -9 -5
+v  9 -9 -5
+v  9  9 -5
+v -9  9 -5
+v -9 -9 -2
+v  0 -9 -2
+v  0  9 -2
+v -9  9 -2
+vn 0 0 1
+usemtl lamp
+f 1//1 2//1 3//1
+f 1//1 3//1 4//1
+usemtl rglass
+f 5//1 6//1 7//1
+f 5//1 7//1 8//1
+"""
+    mtl = """
+newmtl lamp
+Kd 0 0 0
+Ka 2 2 2
+Ks 1 0 0
+newmtl rglass
+Kd 1 1 1
+Ka 0 0 0
+Ks 0.3 0 1.5
+"""
+    d = tempfile.mkdtemp()
+    with open(f"{d}/rpane.obj", "w") as fh:
+        fh.write(obj)
+    with open(f"{d}/rpane.mtl", "w") as fh:
+        fh.write(mtl)
+    scene = load_scene(f"{d}/rpane.obj", rough_materials=True)
+    from tpu_pathtracer.models.bsdf import MATERIAL_ROUGH_DIELECTRIC
+
+    assert (np.asarray(scene.mat_type) == MATERIAL_ROUGH_DIELECTRIC).any()
+
+    cfg = RenderConfig(samples_per_frame=8, max_path_length=4,
+                       intersector="brute", reference_quirks=False,
+                       refract_dielectric=True)
+    st = init_state(16, 32)
+    for _ in range(2):
+        st = render_frame_jit(st, scene, cfg)
+    img = np.asarray(st.accum)
+    assert np.isfinite(img).all()
+    lum = img.mean(axis=2)
+    a = lum[:, : lum.shape[1] // 2].mean()
+    b = lum[:, lum.shape[1] // 2:].mean()
+    assert max(a, b) > 0.5, "direct wall view must be lit"
+    # single rough interface: transmitted arm carries eta^2 ~ 0.44 of the
+    # radiance; with the pre-fix loop the through half was near-black (<0.1)
+    assert min(a, b) > 0.25 * max(a, b)
