@@ -81,6 +81,23 @@ def main() -> None:
                     help="override cfg.bake_materials either way (A/B the "
                          "baked-row material resolve; --no-bake-materials "
                          "forces the select-chain path)")
+    ap.add_argument("--row-tiles", type=int, default=1,
+                    help="sequential row tiles per frame (cfg.row_tiles); "
+                         "composes with --spp fusion to push wavefront "
+                         "density past the single-wavefront HBM wall, e.g. "
+                         "--spp 4 --row-tiles 2 at 1080p")
+    ap.add_argument("--fuse", type=int, default=None,
+                    help="override cfg.fuse_samples (max samples fused into "
+                         "one wavefront)")
+    ap.add_argument("--resolve-gather", choices=("rows", "cols", "percol"),
+                    default=None,
+                    help="override cfg.resolve_gather (payload-resolve "
+                         "gather lowering; A/B after scripts/"
+                         "perf_gather_probe.py names a winner)")
+    ap.add_argument("--prefix-sort", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="A/B cfg.prefix_sort (bounce sorts at the live "
+                         "ladder's rung width instead of full width)")
     ap.add_argument("--progressive", action="store_true",
                     help="also measure BASELINE.json's secondary metric — "
                          "progressive spp/sec on the cornellbox scene at the "
@@ -92,9 +109,15 @@ def main() -> None:
     over = {}
     if args.bake_materials is not None:
         over["bake_materials"] = args.bake_materials
+    if args.prefix_sort is not None:
+        over["prefix_sort"] = args.prefix_sort
+    if args.resolve_gather is not None:
+        over["resolve_gather"] = args.resolve_gather
+    if args.fuse is not None:
+        over["fuse_samples"] = args.fuse
     cfg = RenderConfig(
         samples_per_frame=args.spp, max_path_length=args.depth,
-        intersector=args.intersector, **over,
+        intersector=args.intersector, row_tiles=args.row_tiles, **over,
     )
     r = Renderer(args.scene, width=args.width, height=args.height, cfg=cfg)
 

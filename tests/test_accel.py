@@ -452,3 +452,35 @@ def test_pallas_bw_far_from_origin():
         np.testing.assert_allclose(tb[both], tp_[both], rtol=2e-4)
         agree = (np.asarray(hb.tri)[both] == np.asarray(hs.tri)[both]).mean()
         assert agree > 0.98
+
+
+def test_resolve_gather_modes_identical():
+    # cfg.resolve_gather selects the XLA lowering of the payload-resolve
+    # gather ("rows" / "cols" / "percol"); all three fetch the same table
+    # elements, so every HitShade field must match EXACTLY (same arithmetic
+    # on the same values — only the gather op differs).
+    from tpu_pathtracer.ops.pallas_traverse import resolve_window_payload
+
+    scene = load_scene(scene_path("cornellbox"), samples=3)
+    for bake in (False, True):
+        lay = build_layout(scene, leaf_size=4, bake_materials=bake)
+        n = 257
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        nrows = lay.tris.shape[0]
+        row = jax.random.randint(k1, (n,), 0, nrows).astype(jnp.float32)
+        t = jax.random.uniform(k2, (n,), minval=0.1, maxval=5.0)
+        # a sprinkling of misses (t beyond cap)
+        t = t.at[::7].set(100.0)
+        out = jnp.zeros((8, n), jnp.float32).at[0].set(t).at[1].set(row)
+        t_max = jnp.full((n,), 10.0, jnp.float32)
+        o, d = _random_rays(n, key=5)
+        hs = {
+            g: resolve_window_payload(lay, out, t_max, o, d, gather=g)
+            for g in ("rows", "cols", "percol")
+        }
+        for g in ("cols", "percol"):
+            for a, b in zip(jax.tree.leaves(hs["rows"]), jax.tree.leaves(hs[g])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if bake:
+            assert hs["rows"].mataux is not None

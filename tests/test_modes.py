@@ -289,6 +289,52 @@ def test_live_prefix_ladder_matches_full_width():
     assert (a == b).mean() > 0.9
 
 
+def test_prefix_sort_matches_full_width_sorts():
+    # cfg.prefix_sort runs each bounce's wavefront sort at the rung width the
+    # previous bounce compacted the live lanes into, instead of full width.
+    # Dead suffix lanes never revive and every lane's radiance is keyed by
+    # its unique pixel id, so the image matches the full-width-sort ladder
+    # up to XLA's width-dependent fma fusion (same tolerance as the ladder
+    # equivalence test above).
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=6, intersector="bvh",
+        secondary_tile=256, live_ladder=3,
+    )
+    size = dict(width=128, height=96)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer("cornellbox", cfg=base.replace(prefix_sort=True), **size)
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+    assert (a == b).mean() > 0.9
+
+
+def test_prefix_sort_hero_and_fused():
+    # prefix_sort's rung-width sort must carry every payload plane the
+    # full-width sort carries: the (C, N) hero-bin plane (scatter-add image
+    # assembly) and fused-sample lanes (virtual pixel ids spanning spp
+    # copies of the frame).  Both compare against the eager-ladder pipeline.
+    size = dict(width=128, height=96)
+    hero = RenderConfig(
+        samples_per_frame=1, max_path_length=5, spectrum_samples=8,
+        hero_wavelengths=4, secondary_tile=256, live_ladder=3,
+    )
+    fused = RenderConfig(
+        samples_per_frame=2, fuse_samples=2, max_path_length=5,
+        intersector="bvh", secondary_tile=256, live_ladder=3,
+    )
+    for base in (hero, fused):
+        r0 = Renderer("cornellbox", cfg=base, **size)
+        r0.run(2)
+        r1 = Renderer("cornellbox", cfg=base.replace(prefix_sort=True), **size)
+        r1.run(2)
+        a, b = np.asarray(r0.image()), np.asarray(r1.image())
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
 def test_live_prefix_ladder_with_hero_bins():
     # Ladder slicing must also carry the (C, N) hero-bin plane and the
     # scatter-add image assembly; compare against the full-width pipeline.

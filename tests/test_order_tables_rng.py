@@ -84,6 +84,29 @@ def test_exact_ray_count_matches_probe_at_same_resolution():
     assert n <= exact <= n * (2 * cfg.max_path_length + 1)
 
 
+def test_exact_ray_count_invariant_to_row_tiles_and_fusion():
+    """Per-lane ray counts are a pure function of each lane's absolute-pixel
+    RNG stream, so the exact counter must return the SAME total however the
+    lanes are grouped — untiled, row-tiled, or sample-fused (the counter
+    mirrors render_frame's tiling so HBM-bounded configs can be counted at
+    all)."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render.stats import count_traced_rays_exact
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    scene = load_scene(scene_path("cornellbox"))
+    base = dict(samples_per_frame=4, max_path_length=4, intersector="brute")
+    ref = count_traced_rays_exact(
+        scene, RenderConfig(**base, fuse_samples=1), 48, 64)
+    for cfg in (
+        RenderConfig(**base, fuse_samples=4),
+        RenderConfig(**base, fuse_samples=2, row_tiles=2),
+        RenderConfig(**base, fuse_samples=4, row_tiles=4),
+    ):
+        got = count_traced_rays_exact(scene, cfg, 48, 64)
+        assert got == ref, (cfg.fuse_samples, cfg.row_tiles, got, ref)
+
+
 def test_r2_sampler_stratifies_and_integrates():
     """uniforms_r2: per-dim stratification near the lattice ideal over 256
     frames, and quadrature error on a smooth integrand an order of

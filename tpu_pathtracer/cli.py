@@ -116,6 +116,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="render each frame in N sequential row tiles "
                         "(bounds peak HBM for big frames or high "
                         "--fuse-samples)")
+    p.add_argument("--prefix-sort", action="store_true",
+                   help="run each bounce's wavefront sort at the live-prefix "
+                        "ladder's rung width instead of full width (saves "
+                        "sort network on mostly-dead late bounces; costs one "
+                        "compiled sort instance per rung)")
     p.add_argument("--mesh", metavar="TILESxSPP",
                    help="multi-chip render over a ('tiles','spp') device "
                         "mesh, e.g. --mesh 4x2 (8 chips; bit-identical to "
@@ -163,6 +168,7 @@ def main(argv=None) -> int:
         comparison_mode=ComparisonMode(args.compare_mode),
         comparison_scale=args.compare_scale,
         row_tiles=args.row_tiles,
+        prefix_sort=args.prefix_sort,
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,
     )

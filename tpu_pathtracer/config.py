@@ -176,6 +176,12 @@ class RenderConfig:
     # Baking is exact: table values are copied verbatim per triangle.
     # Dispersion tables (mat_ior_bins) and texture ids keep their own paths.
     bake_materials: bool = False
+    # XLA lowering for the payload-resolve row gather, the biggest single
+    # linear-stage item (~31 ms per 2M rows on v5e): "rows" = one (N, C)
+    # axis-0 row gather (baseline), "cols" = one (C, N) axis-1 gather from
+    # the transposed table, "percol" = C independent 1D takes.  Element-
+    # identical; A/B with scripts/perf_gather_probe.py before switching.
+    resolve_gather: str = "rows"
     # Sort the wavefront before each secondary bounce by (alive, direction
     # octant, origin Morton cell): dead rays compact into tiles that exit
     # instantly and live rays regain tile coherence (the BASELINE.json
@@ -192,6 +198,17 @@ class RenderConfig:
     # N/8); 0 disables.  Results are bit-identical: per-lane math is
     # tile-independent and dead lanes are never touched by a bounce.
     live_ladder: int = 3
+    # Prefix-width bounce sorts (needs live_ladder > 0): each bounce's sort
+    # runs at the rung width the PREVIOUS bounce compacted the live lanes
+    # into, instead of full wavefront width — dead suffix lanes can never
+    # revive, so sorting them again is pure waste (~12 ms x live bounces of
+    # sort network at 2M lanes).  The rung rides the fori_loop carry; the
+    # stage runs at the sort's width, which trails the eager ladder's rung
+    # by at most one bounce on live-count transitions.  Costs one compiled
+    # sort instance per rung (the TPU variadic-sort lowering is the compile
+    # hot spot — docs/ROADMAP.md), hence opt-in until the A/B says the
+    # runtime win pays for it.
+    prefix_sort: bool = False
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
     # Progressive frames kept in flight before the host blocks: the analog of
@@ -210,6 +227,7 @@ class RenderConfig:
             "traversal_kernel": ("window", "minwalk"),
             "sampler": ("prng", "r2"),
             "intersector": ("bvh", "brute"),
+            "resolve_gather": ("rows", "cols", "percol"),
         }
         for field, allowed in checks.items():
             v = getattr(self, field)

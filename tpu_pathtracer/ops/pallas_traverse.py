@@ -849,6 +849,7 @@ def intersect_bvh_window(
     tritest: str = "bw",
     mt_off: bool = False,
     raw: bool = False,
+    gather: str = "rows",
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
     ``raw`` returns the unresolved ((8, N) [t, row] rows, t_max) pair instead.
@@ -913,11 +914,12 @@ def intersect_bvh_window(
     if raw:
         return out[:, :n], t_max_arr
     return resolve_window_payload(lay, out[:, :n], t_max_arr, o, d,
-                                  resolve=resolve)
+                                  resolve=resolve, gather=gather)
 
 
 def resolve_window_payload(
-    lay: BVHLayout, out: jnp.ndarray, t_max_arr, o, d, resolve: bool = True
+    lay: BVHLayout, out: jnp.ndarray, t_max_arr, o, d, resolve: bool = True,
+    gather: str = "rows",
 ) -> HitShade:
     """Raw kernel rows [t, row, ...] -> HitShade.
 
@@ -926,6 +928,14 @@ def resolve_window_payload(
     ONE XLA row gather fetches the winning triangle and u/v are recomputed
     per lane (identical Moller-Trumbore arithmetic to the v1 kernel; the
     sentinel row is all zeros -> det == 0 -> u = v = 0 on misses).
+
+    ``gather`` selects the gather lowering (cfg.resolve_gather; A/B'd by
+    scripts/perf_gather_probe.py — the row gather is the biggest single
+    linear-stage item at ~31 ms/2M rows on v5e):
+      "rows"    one (N, C) row gather from the (T, C) table (baseline);
+      "cols"    one (C, N) gather along axis 1 of the transposed table;
+      "percol"  C independent 1D takes from the transposed table's rows.
+    All three are element-identical; only the XLA lowering differs.
     """
     n = out.shape[1]
     t = jnp.where(out[0] < t_max_arr, out[0], jnp.inf)
@@ -934,17 +944,26 @@ def resolve_window_payload(
     # the gather's cost is per row, flat in width, so the material payload
     # rides free and the select_cols chains in the shading core disappear.
     table = lay.tris if (lay.triswide is None or not resolve) else lay.triswide
-    rows = jnp.take(table, out[1].astype(jnp.int32), axis=0)  # (N, 24+K)
-    e1 = (rows[:, 3], rows[:, 4], rows[:, 5])
-    e2 = (rows[:, 6], rows[:, 7], rows[:, 8])
+    idx = out[1].astype(jnp.int32)
+    if gather == "cols":
+        rows_t = jnp.take(table.T, idx, axis=1)          # (C, N)
+        col = lambda k: rows_t[k]
+    elif gather == "percol":
+        table_t = table.T
+        col = lambda k: jnp.take(table_t[k], idx)
+    else:
+        rows = jnp.take(table, idx, axis=0)              # (N, 24+K)
+        col = lambda k: rows[:, k]
+    e1 = (col(3), col(4), col(5))
+    e2 = (col(6), col(7), col(8))
     pvx = d[1] * e2[2] - d[2] * e2[1]
     pvy = d[2] * e2[0] - d[0] * e2[2]
     pvz = d[0] * e2[1] - d[1] * e2[0]
     det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
     inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
-    tx = o[0] - rows[:, 0]
-    ty = o[1] - rows[:, 1]
-    tz = o[2] - rows[:, 2]
+    tx = o[0] - col(0)
+    ty = o[1] - col(1)
+    tz = o[2] - col(2)
     u = (tx * pvx + ty * pvy + tz * pvz) * inv
     qx = ty * e1[2] - tz * e1[1]
     qy = tz * e1[0] - tx * e1[2]
@@ -956,36 +975,36 @@ def resolve_window_payload(
     if not resolve:
         return HitShade(
             t=t, u=u, v=v,
-            tri=rows[:, 9].astype(jnp.int32),
+            tri=col(9).astype(jnp.int32),
             mat=jnp.zeros((n,), jnp.int32),
             light=jnp.full((n,), -1, jnp.int32),
             pos=jnp.zeros((3, n), jnp.float32),
             normal=jnp.zeros((3, n), jnp.float32),
         )
     w0 = 1.0 - u - v
-    px = rows[:, 0] + u * rows[:, 3] + v * rows[:, 6]
-    py = rows[:, 1] + u * rows[:, 4] + v * rows[:, 7]
-    pz = rows[:, 2] + u * rows[:, 5] + v * rows[:, 8]
-    nx = rows[:, 10] * w0 + rows[:, 13] * u + rows[:, 16] * v
-    ny = rows[:, 11] * w0 + rows[:, 14] * u + rows[:, 17] * v
-    nz = rows[:, 12] * w0 + rows[:, 15] * u + rows[:, 18] * v
+    px = col(0) + u * col(3) + v * col(6)
+    py = col(1) + u * col(4) + v * col(7)
+    pz = col(2) + u * col(5) + v * col(8)
+    nx = col(10) * w0 + col(13) * u + col(16) * v
+    ny = col(11) * w0 + col(14) * u + col(17) * v
+    nz = col(12) * w0 + col(15) * u + col(18) * v
     rlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
     mataux = None
     if lay.triswide is not None:
         s, has_rough = lay.matmeta
         mataux = {
-            "diffuse": rows[:, 24:24 + s].T,           # (S, N)
-            "emissive": rows[:, 24 + s:24 + 2 * s].T,  # (S, N)
-            "ior": rows[:, 24 + 2 * s],
-            "mtype": rows[:, 25 + 2 * s].astype(jnp.int32),
+            "diffuse": jnp.stack([col(24 + j) for j in range(s)]),
+            "emissive": jnp.stack([col(24 + s + j) for j in range(s)]),
+            "ior": col(24 + 2 * s),
+            "mtype": col(25 + 2 * s).astype(jnp.int32),
         }
         if has_rough:
-            mataux["rough"] = rows[:, 26 + 2 * s]
+            mataux["rough"] = col(26 + 2 * s)
     return HitShade(
         t=t, u=u, v=v,
-        tri=rows[:, 9].astype(jnp.int32),
-        mat=rows[:, 19].astype(jnp.int32),
-        light=rows[:, 20].astype(jnp.int32) - 1,
+        tri=col(9).astype(jnp.int32),
+        mat=col(19).astype(jnp.int32),
+        light=col(20).astype(jnp.int32) - 1,
         pos=jnp.stack([px, py, pz]),
         normal=jnp.stack([nx * rlen, ny * rlen, nz * rlen]),
         mataux=mataux,
@@ -1009,6 +1028,7 @@ def make_pallas_intersector(
     tritest: str = "bw",
     anyhit: bool = True,
     eps: float = 1e-4,
+    gather: str = "rows",
 ):
     """Build the production intersection callable.
 
@@ -1039,13 +1059,13 @@ def make_pallas_intersector(
                 return intersect_bvh_window(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
                     prepass=prepass, chain=chain, mtblock=mtblock,
-                    tritest=tritest,
+                    tritest=tritest, gather=gather,
                 )
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
                 prepass=prepass, chain=secondary_chain,
                 window=secondary_window, mtblock=secondary_mtblock,
-                tritest=tritest,
+                tritest=tritest, gather=gather,
             )
         return intersect_bvh_pallas(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,

@@ -86,10 +86,25 @@ def count_traced_rays_exact(
 
     from ..config import NoiseMode
 
+    # Mirror render_frame's sequential row tiling (render/state.py): the
+    # per-lane ray counts are invariant to how lanes are grouped into
+    # wavefronts (alive progression is a pure function of the lane's
+    # absolute-pixel RNG stream), but the PEAK memory is not — counting an
+    # HBM-bounded config (e.g. fuse_samples=4 at 1080p) through one untiled
+    # wavefront would OOM the very config row_tiles exists to make fit.
+    tiles = max(1, cfg.row_tiles)
+    if tiles > 1 and height % tiles:
+        tiles = 1
+    tile_h = height // tiles
+
     @partial(jax.jit, static_argnames=())
     def one_frame(key, fi):
         frame_key = frame_rng_key(cfg, key, fi)
         total = jnp.float32(0)
+        tile_kw = [
+            dict(row0=r * tile_h, full_height=height, full_width=width)
+            for r in range(tiles)
+        ]
         if cfg.noise_mode == NoiseMode.PRNG:
             # the SAME schedule helpers sample_sum uses (render/state.py)
             fuse, n_chunks, rem = fuse_schedule(cfg, cfg.samples_per_frame)
@@ -97,20 +112,23 @@ def count_traced_rays_exact(
             chunks = [(fuse, i * fuse) for i in range(n_chunks)]
             if rem:
                 chunks.append((rem, n_chunks * fuse))
-            for m, s0 in chunks:
+            for kw in tile_kw:
+                for m, s0 in chunks:
+                    _, c = render_sample(
+                        scene, cfg, camera, tile_h, width, wkey, fi,
+                        intersect, with_ray_count=True, samples=m,
+                        sample0=s0, **kw,
+                    )
+                    total = total + c
+            return total
+        for kw in tile_kw:
+            for s in range(cfg.samples_per_frame):
+                k = jax.random.fold_in(frame_key, s)
                 _, c = render_sample(
-                    scene, cfg, camera, height, width, wkey, fi,
-                    intersect, with_ray_count=True, samples=m, sample0=s0,
+                    scene, cfg, camera, tile_h, width, k, fi, intersect,
+                    with_ray_count=True, **kw,
                 )
                 total = total + c
-            return total
-        for s in range(cfg.samples_per_frame):
-            k = jax.random.fold_in(frame_key, s)
-            _, c = render_sample(
-                scene, cfg, camera, height, width, k, fi, intersect,
-                with_ray_count=True,
-            )
-            total = total + c
         return total
 
     key = jax.random.PRNGKey(seed)

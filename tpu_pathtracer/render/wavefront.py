@@ -322,6 +322,7 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
                     or (cfg.occlusion_anyhit == "auto"
                         and scene.env is not None)),
             eps=cfg.distance_epsilon,
+            gather=cfg.resolve_gather,
         )
     from ..ops.traverse import make_bvh_intersector
 
@@ -816,6 +817,54 @@ def render_sample(
                 break
             sizes.append(s)
 
+        if cfg.prefix_sort and len(sizes) > 1:
+            # Prefix-width sorts: bounce b's live lanes all sit inside the
+            # prefix the previous bounce's sort compacted them into (dead
+            # suffix lanes never revive), so the sort itself — the one
+            # remaining full-width op per bounce — can run at that rung's
+            # width.  The rung index rides the loop carry; the stage runs at
+            # the sort's width, trailing the eager ladder's rung by at most
+            # one bounce on live-count transitions.  The next rung is
+            # computable BEFORE the sort (sorting preserves the alive set,
+            # and it compacts the live lanes into the first `live` slots).
+            def body(b, carry):
+                st, pk, cnt, rung = carry
+
+                def make_branch(s):
+                    def br(st, pk):
+                        cut = lambda x: jax.lax.slice_in_dim(x, 0, s, axis=-1)
+                        stp, pkp = sort_wavefront(
+                            jax.tree.map(cut, st), wmin, winv,
+                            jax.tree.map(cut, pk),
+                        )
+                        nst, npk, nr = stage(b, stp, pkp)
+                        put = lambda full, pre: (
+                            jax.lax.dynamic_update_slice_in_dim(
+                                full, pre, 0, axis=-1))
+                        return (
+                            jax.tree.map(put, st, nst),
+                            jax.tree.map(put, pk, npk),
+                            nr,
+                        )
+                    return br
+
+                live = jnp.sum(st.alive.astype(jnp.int32))
+                nst, npk, nr = jax.lax.switch(
+                    rung, [make_branch(s) for s in sizes], st, pk
+                )
+                nrung = jnp.int32(0)
+                for s in sizes[1:]:
+                    nrung = nrung + (live <= s).astype(jnp.int32)
+                return nst, npk, cnt + nr, nrung
+
+            state, pack, nrays, _ = jax.lax.fori_loop(
+                1, cfg.max_path_length, body,
+                (state, pack, nrays, jnp.int32(0)),
+            )
+            sorted_loop_done = True
+        else:
+            sorted_loop_done = False
+
         def body(b, carry):
             st, pk, cnt = carry
             st, pk = sort_wavefront(st, wmin, winv, pk)
@@ -853,9 +902,10 @@ def render_sample(
             )
             return nst, npk, cnt + nr
 
-        state, pack, nrays = jax.lax.fori_loop(
-            1, cfg.max_path_length, body, (state, pack, nrays)
-        )
+        if not sorted_loop_done:
+            state, pack, nrays = jax.lax.fori_loop(
+                1, cfg.max_path_length, body, (state, pack, nrays)
+            )
         # the final bounce's pack is empty by construction: NEE is gated by
         # bounce + 1 < max_path_length (reference: renderer/Shaders.metal:158)
     else:
