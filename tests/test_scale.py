@@ -147,6 +147,29 @@ def test_large_scene_traversal_matches_brute(big_scene):
         assert agree > 0.98, builder
 
 
+def test_vmem_budget_guard(big_scene):
+    # The Pallas kernels hold the whole BVH tables in VMEM; past the budget
+    # the renderer must fall back to the pure-JAX walker instead of failing
+    # Mosaic compilation.  The 130K-tri scene's tables exceed 12 MB; the
+    # 7K-tri bench scene's are well under it.
+    from tpu_pathtracer.render.wavefront import (
+        layout_vmem_bytes, pallas_tables_fit,
+    )
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    cfg = RenderConfig()
+    big_lay = build_layout(big_scene, leaf_size=16)
+    assert layout_vmem_bytes(big_lay) > 12 * 2 ** 20
+    assert not pallas_tables_fit(cfg, big_lay)
+    assert pallas_tables_fit(cfg.replace(vmem_table_budget_mb=1e9), big_lay)
+
+    small = load_scene(scene_path("CornellBox-Water-plastic"))
+    small_lay = build_layout(small, leaf_size=48)
+    assert pallas_tables_fit(cfg, small_lay)
+    # the occlusion layout participates in the worst-case check
+    assert not pallas_tables_fit(cfg, small_lay, big_lay)
+
+
 def test_large_scene_renders(big_scene):
     # production wavefront path (sorted pipeline, NEE + MIS) on the 130K-tri
     # scene at a tiny frame: finite, lit, and the lamp lights the terrain

@@ -209,6 +209,12 @@ class RenderConfig:
     # hot spot — docs/ROADMAP.md), hence opt-in until the A/B says the
     # runtime win pays for it.
     prefix_sort: bool = False
+    # Per-kernel VMEM budget (MB) for the whole-table-resident Pallas
+    # traversal: past this the scene's BVH tables cannot be placed in VMEM
+    # (~16 MB/core, minus ray tiles and double buffering) and the renderer
+    # falls back to the pure-JAX walker with a RuntimeWarning instead of
+    # failing Mosaic compilation.  ~12 MB = roughly 120-140K triangles.
+    vmem_table_budget_mb: float = 12.0
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
     # Progressive frames kept in flight before the host blocks: the analog of

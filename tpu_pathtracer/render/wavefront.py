@@ -288,6 +288,32 @@ def make_brute_intersector(scene: Scene, t_min: float = 0.0) -> IntersectFn:
     return fn
 
 
+def layout_vmem_bytes(lay) -> int:
+    """Worst-case bytes of BVH tables ONE Pallas traversal kernel call
+    places whole in VMEM (ops/pallas_traverse.py: each kernel takes a node
+    table, its meta, one triangle-row variant and a prepass block).  The
+    window kernel's MT variant (tris8, 24 cols) is the largest combination."""
+    def nbytes(*names):
+        return sum(
+            a.size * a.dtype.itemsize
+            for a in (getattr(lay, n) for n in names) if a is not None
+        )
+
+    v1 = nbytes("nodes", "nodes_meta", "tris", "prepass")
+    window_mt = nbytes("nodes8", "meta4", "tris8", "prepass")
+    window_bw = nbytes("nodes8", "meta4", "tris8bw", "prepassbw")
+    return max(v1, window_mt, window_bw)
+
+
+def pallas_tables_fit(cfg: RenderConfig, lay, lay_occl=None) -> bool:
+    """True when every layout's tables fit the per-kernel VMEM budget
+    (cfg.vmem_table_budget_mb) with room left for the ray tiles."""
+    budget = int(cfg.vmem_table_budget_mb * 2 ** 20)
+    worst = max(layout_vmem_bytes(lay),
+                layout_vmem_bytes(lay_occl) if lay_occl is not None else 0)
+    return worst <= budget
+
+
 def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
                      lay_occl=None) -> IntersectFn:
     """Pick the intersection backend: brute (no BVH), pure-JAX BVH traversal,
@@ -301,6 +327,20 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
     # take the pure-JAX fallback — the Pallas TPU kernels cannot lower on
     # either.
     on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    if cfg.use_pallas and on_tpu and not pallas_tables_fit(cfg, lay, lay_occl):
+        # Production-scale guard: the Pallas kernels hold the whole node +
+        # triangle tables in VMEM (~16 MB/core); past ~100-150K triangles
+        # Mosaic cannot place them and compilation fails.  Fall back to the
+        # pure-JAX walker (same BVH, XLA-managed HBM) instead of crashing.
+        import warnings
+
+        warnings.warn(
+            f"scene BVH tables exceed the Pallas VMEM budget "
+            f"({cfg.vmem_table_budget_mb} MB, cfg.vmem_table_budget_mb); "
+            "using the pure-JAX traversal fallback", RuntimeWarning,
+            stacklevel=2,
+        )
+        on_tpu = False
     if cfg.use_pallas and on_tpu:
         from ..ops.pallas_traverse import make_pallas_intersector
 
