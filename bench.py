@@ -98,6 +98,10 @@ def main() -> None:
                     default=None,
                     help="A/B cfg.prefix_sort (bounce sorts at the live "
                          "ladder's rung width instead of full width)")
+    ap.add_argument("--sort-lowering", choices=("variadic", "gather"),
+                    default=None,
+                    help="A/B cfg.sort_lowering (variadic lax.sort vs "
+                         "argsort+gather; the latter compiles ~100x faster)")
     ap.add_argument("--progressive", action="store_true",
                     help="also measure BASELINE.json's secondary metric — "
                          "progressive spp/sec on the cornellbox scene at the "
@@ -113,6 +117,8 @@ def main() -> None:
         over["prefix_sort"] = args.prefix_sort
     if args.resolve_gather is not None:
         over["resolve_gather"] = args.resolve_gather
+    if args.sort_lowering is not None:
+        over["sort_lowering"] = args.sort_lowering
     if args.fuse is not None:
         over["fuse_samples"] = args.fuse
     cfg = RenderConfig(

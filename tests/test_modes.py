@@ -422,3 +422,22 @@ def test_row_tiles_bit_identical():
 
     with pytest.raises(ValueError, match="row_tiles"):
         render_frame_jit(init_state(25, 32), scene, base.replace(row_tiles=4))
+
+
+def test_gather_sort_lowering_full_frame_identical():
+    # cfg.sort_lowering="gather" replaces the variadic bounce sort with an
+    # argsort + per-plane gathers; lax.sort stability makes the permutation
+    # identical, so the whole frame must match BIT-FOR-BIT (no fma-fusion
+    # tolerance needed: the same values flow through the same shade math).
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=6, intersector="bvh",
+        secondary_tile=256, live_ladder=2,
+    )
+    size = dict(width=128, height=96)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer("cornellbox", cfg=base.replace(sort_lowering="gather"), **size)
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)

@@ -121,6 +121,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "ladder's rung width instead of full width (saves "
                         "sort network on mostly-dead late bounces; costs one "
                         "compiled sort instance per rung)")
+    p.add_argument("--sort-lowering", choices=("variadic", "gather"),
+                   default="variadic",
+                   help="wavefront-sort lowering: 'variadic' (runtime-"
+                        "optimal, slow first compile) or 'gather' (argsort "
+                        "+ per-plane takes; compiles in seconds)")
     p.add_argument("--mesh", metavar="TILESxSPP",
                    help="multi-chip render over a ('tiles','spp') device "
                         "mesh, e.g. --mesh 4x2 (8 chips; bit-identical to "
@@ -169,6 +174,7 @@ def main(argv=None) -> int:
         comparison_scale=args.compare_scale,
         row_tiles=args.row_tiles,
         prefix_sort=args.prefix_sort,
+        sort_lowering=args.sort_lowering,
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,
     )

@@ -209,6 +209,17 @@ class RenderConfig:
     # hot spot — docs/ROADMAP.md), hence opt-in until the A/B says the
     # runtime win pays for it.
     prefix_sort: bool = False
+    # Wavefront-sort lowering.  "variadic" = one lax.sort carrying every
+    # state plane as payload (runtime-optimal: the sort network moves the
+    # rows in place, ~8-15 ms/2M lanes — but the TPU lowering's COMPILE
+    # time is super-linear in operand count: 11 planes ~106 s, 24 ~450 s).
+    # "gather" = a 3-operand argsort (key, pixel, iota) followed by one
+    # jnp.take per payload plane: bit-identical output (lax.sort is stable,
+    # so the iota payload IS the variadic sort's permutation), compiles in
+    # seconds, and pays the permutation as gathers instead of sort-network
+    # moves.  Use it when compile latency matters (first run, prefix_sort's
+    # per-rung instances, S>3 spectra that overflow the operand guard).
+    sort_lowering: str = "variadic"
     # Per-kernel VMEM budget (MB) for the whole-table-resident Pallas
     # traversal: past this the scene's BVH tables cannot be placed in VMEM
     # (~16 MB/core, minus ray tiles and double buffering) and the renderer
@@ -234,6 +245,7 @@ class RenderConfig:
             "sampler": ("prng", "r2"),
             "intersector": ("bvh", "brute"),
             "resolve_gather": ("rows", "cols", "percol"),
+            "sort_lowering": ("variadic", "gather"),
         }
         for field, allowed in checks.items():
             v = getattr(self, field)

@@ -179,7 +179,25 @@ def _unpack_bins(planes, like):
     return jnp.stack(rows)
 
 
-def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None):
+def _sorted_planes(key, pixel, planes, lowering):
+    """(sorted_key, sorted_pixel, *sorted_planes) under either lowering.
+
+    "variadic" hands every plane to ``lax.sort`` as payload; "gather" sorts
+    only (key, pixel, iota) and applies the resulting permutation with one
+    ``jnp.take`` per plane.  Both are bit-identical: ``lax.sort`` is stable,
+    so the sorted iota IS the permutation the variadic form applies.
+    """
+    if lowering == "gather":
+        n = key.shape[0]
+        skey, spixel, perm = jax.lax.sort(
+            (key, pixel, jax.lax.iota(jnp.int32, n)), num_keys=2
+        )
+        return (skey, spixel, *[jnp.take(p, perm, axis=0) for p in planes])
+    return jax.lax.sort((key, pixel, *planes), num_keys=2)
+
+
+def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
+                   lowering: str = "variadic"):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
     (key + pixel id as tiebreak + every state plane as payload).
 
@@ -187,7 +205,9 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
     nearly independent of payload count — but the TPU lowering's COMPILE
     time is super-linear in operand count), so the deferred shadow ``pack``
     rides along as extra payload planes instead of being sorted separately.
-    Returns ``state``, or ``(state, pack)`` when a pack is given.
+    ``lowering`` selects the variadic sort or the argsort+gather form
+    (``RenderConfig.sort_lowering``).  Returns ``state``, or
+    ``(state, pack)`` when a pack is given.
     """
     key = ray_sort_key(state, wmin, winv)
     samples = state.throughput.shape[0]
@@ -195,14 +215,17 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
     nb = len(bin_planes)
     # TPU variadic-sort compile time is super-linear in operand count (11
     # planes ~106 s, 18 ~248 s, 27+ effectively never finishes); fail fast
-    # instead of hanging the first compile for hours.  CPU lowering is fine.
+    # instead of hanging the first compile for hours.  CPU lowering is fine,
+    # as is the 3-operand argsort+gather form.
     n_ops = 2 + (10 + 2 * samples if pack is None else 13 + 3 * samples) + nb
-    if n_ops > 26 and jax.default_backend() not in ("cpu",):
+    if (n_ops > 26 and lowering == "variadic"
+            and jax.default_backend() not in ("cpu",)):
         raise RuntimeError(
             f"wavefront sort would need {n_ops} lax.sort operands; the TPU "
             "variadic-sort lowering's compile time explodes past ~26.  Bound "
             "the per-lane spectrum with hero-wavelength sampling "
-            "(cfg.hero_wavelengths <= 3), or disable cfg.sort_rays.")
+            "(cfg.hero_wavelengths <= 3), set sort_lowering='gather', or "
+            "disable cfg.sort_rays.")
     if pack is None:
         planes = [
             state.origin[0], state.origin[1], state.origin[2],
@@ -213,7 +236,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
             state.alive.astype(jnp.int8),
             *bin_planes,
         ]
-        out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
+        out = _sorted_planes(key, state.pixel, planes, lowering)
         pixel = out[1]
         p = out[2:]
         return PathState(
@@ -251,7 +274,7 @@ def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None)
         flags,
         *bin_planes,
     ]
-    out = jax.lax.sort((key, state.pixel, *planes), num_keys=2)
+    out = _sorted_planes(key, state.pixel, planes, lowering)
     skey = out[0]
     pixel = out[1]
     p = out[2:]
@@ -876,6 +899,7 @@ def render_sample(
                         stp, pkp = sort_wavefront(
                             jax.tree.map(cut, st), wmin, winv,
                             jax.tree.map(cut, pk),
+                            lowering=cfg.sort_lowering,
                         )
                         nst, npk, nr = stage(b, stp, pkp)
                         put = lambda full, pre: (
@@ -907,7 +931,8 @@ def render_sample(
 
         def body(b, carry):
             st, pk, cnt = carry
-            st, pk = sort_wavefront(st, wmin, winv, pk)
+            st, pk = sort_wavefront(st, wmin, winv, pk,
+                                    lowering=cfg.sort_lowering)
             if len(sizes) == 1:
                 nst, npk, nr = stage(b, st, pk)
                 return nst, npk, cnt + nr
