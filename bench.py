@@ -58,7 +58,24 @@ def _device_watchdog(spp: int, timeout_s: float = 300.0) -> None:
             os._exit(3)
 
     threading.Thread(target=watch, daemon=True).start()
-    jax.devices()  # blocks here, not mid-benchmark, if the relay is wedged
+    try:
+        jax.devices()  # blocks here, not mid-benchmark, if the relay is wedged
+        # Enumeration alone is not health: a crashed relay worker still lists
+        # its device and then fails the first execute/transfer with
+        # FAILED_PRECONDITION (observed after a client was killed mid-compile).
+        # Round-trip one scalar so that failure mode also lands in the bounded
+        # error JSON instead of an unhandled traceback mid-benchmark.
+        import jax.numpy as jnp
+        float(jnp.ones((8, 8)).sum())
+    except Exception as e:  # noqa: BLE001 — any backend error is "relay down"
+        print(json.dumps({
+            "metric": f"traced_mrays_per_sec_per_chip_1080p_{spp}spp",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"device probe failed: {type(e).__name__}: {e}",
+        }), flush=True)
+        os._exit(3)
     done.set()
 
 
