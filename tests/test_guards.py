@@ -73,3 +73,21 @@ def test_gather_sort_lowering_bit_identical():
     b2 = wf.sort_wavefront(st, wmin, winv, lowering="gather")
     for a, b in zip(jax.tree.leaves(a2), jax.tree.leaves(b2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_lowering_bypasses_operand_wall(monkeypatch):
+    """The argsort+gather lowering never builds the wide variadic sort, so
+    the TPU operand-count guard must not fire for it — this is what makes
+    S>3 full-spectral sorted wavefronts usable on TPU."""
+    n, s = 8, 8
+    st = wf.initial_path_state(
+        jnp.zeros((3, n)), jnp.ones((3, n)) / np.sqrt(3.0), s)
+    pack = wf.ShadowPack(
+        to_light=jnp.zeros((3, n)), cap=jnp.ones((n,)),
+        target=jnp.zeros((n,), jnp.int32), contrib=jnp.zeros((s, n)),
+        ok=jnp.zeros((n,), bool))
+    wmin, winv = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+    monkeypatch.setattr(wf.jax, "default_backend", lambda: "tpu")
+    out_st, out_pk = wf.sort_wavefront(st, wmin, winv, pack, lowering="gather")
+    assert out_st.origin.shape == (3, n)
+    assert out_pk.contrib.shape == (s, n)

@@ -441,3 +441,27 @@ def test_gather_sort_lowering_full_frame_identical():
     a, b = np.asarray(r0.image()), np.asarray(r1.image())
     assert np.isfinite(a).all()
     np.testing.assert_array_equal(a, b)
+
+
+def test_gather_sort_lowering_with_prefix_sort():
+    # The attractive combination: prefix_sort compiles one sort instance per
+    # ladder rung, and the gather lowering makes each instance near-free to
+    # compile.  Must still match the eager full-width variadic pipeline
+    # (same tolerance as the prefix-sort equivalence test: XLA's fma fusion
+    # differs across widths).
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=5, intersector="bvh",
+        secondary_tile=256, live_ladder=2,
+    )
+    size = dict(width=96, height=64)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer(
+        "cornellbox",
+        cfg=base.replace(prefix_sort=True, sort_lowering="gather"),
+        **size,
+    )
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
