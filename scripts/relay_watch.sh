@@ -9,8 +9,9 @@
 #
 # Usage: bash scripts/relay_watch.sh [cmd...]
 cd "$(dirname "$0")/.."
+PROBE_LOG=$(mktemp /tmp/probe.XXXXXX.log)  # per-watcher: concurrent runs must not clobber
 probe() {
-  timeout 120 python - <<'PY' > /tmp/probe.log 2>&1
+  timeout 120 python - <<'PY' > "$PROBE_LOG" 2>&1
 import jax, jax.numpy as jnp
 print(float(jnp.ones((8, 8)).sum()))
 PY
@@ -18,7 +19,7 @@ PY
 n=0
 while ! probe; do
   n=$((n+1))
-  echo "probe $n failed $(date -u): $(tail -c 120 /tmp/probe.log)"
+  echo "probe $n failed $(date -u): $(tail -c 120 "$PROBE_LOG")"
   sleep 120
 done
 echo "RELAY HEALTHY after $n failed probes $(date -u)"

@@ -80,6 +80,42 @@ def test_comparison_modes_match_blit_shader():
     )
 
 
+def test_blit_display_manual_srgb_ordering():
+    """MANUAL_SRGB moves the sRGB encode across the comparison diff.
+
+    Reference semantics (Shaders.metal:47-51 vs Renderer.mm:88-94): identical
+    pixels in normal display, different pixels in comparison modes (manual =
+    diff of sRGB-encoded color, displayed raw; hardware = diff of linear
+    color, sRGB-encoded by the framebuffer).
+    """
+    from tpu_pathtracer.utils.compare import blit_display
+
+    rng = np.random.default_rng(1)
+    color = rng.random((6, 6, 3)).astype(np.float32)
+    ref = rng.random((6, 6, 3)).astype(np.float32)
+
+    plain_hw = blit_display(color, ref, ComparisonMode.DISABLED, tonemap=True)
+    plain_manual = blit_display(color, ref, ComparisonMode.DISABLED,
+                                tonemap=True, manual_srgb=True)
+    np.testing.assert_allclose(plain_hw, plain_manual, atol=1e-6)
+
+    diff_hw = blit_display(color, ref, ComparisonMode.ABSOLUTE_VALUE, 10.0)
+    diff_manual = blit_display(color, ref, ComparisonMode.ABSOLUTE_VALUE, 10.0,
+                               manual_srgb=True)
+    assert not np.allclose(diff_hw, diff_manual, atol=1e-3)
+
+    # exact pipelines, re-derived independently
+    def srgb(v):
+        v = np.clip(v, 0.0, 1.0)
+        return np.where(v < 0.0031308, 12.92 * v,
+                        1.055 * np.power(v, 1 / 2.4) - 0.055)
+
+    np.testing.assert_allclose(
+        diff_hw, np.clip(srgb(np.abs(color - ref) * 10.0), 0, 1), atol=1e-5)
+    np.testing.assert_allclose(
+        diff_manual, np.clip(np.abs(srgb(color) - ref) * 10.0, 0, 1), atol=1e-5)
+
+
 def test_srgb_roundtrip_and_tonemap():
     import jax.numpy as jnp
 

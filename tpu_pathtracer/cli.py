@@ -246,8 +246,22 @@ def main(argv=None) -> int:
         if args.preview_every:
             print("note: --preview-every is ignored with --serve "
                   "(poll /frame.png instead)", file=sys.stderr)
+        # the reference blits the golden diff live every frame
+        # (renderer/Shaders.metal:53-66); load the golden so /compare.png
+        # can serve the same view, but never let a missing golden block
+        # plain viewing
+        golden = None
+        try:
+            from .io.exr import read_exr
+            from .utils.compare import downsample
+
+            gold, _ = read_exr(golden_path(args.scene, args.depth))
+            golden = downsample(gold, r.state.height, r.state.width)
+        except Exception as e:  # noqa: BLE001 — golden is optional here
+            print(f"note: no golden for live compare ({e})", file=sys.stderr)
         server = ViewerServer(r, scene_name=args.scene,
-                              host=args.serve_host, port=args.serve)
+                              host=args.serve_host, port=args.serve,
+                              golden=golden)
         print(f"live viewer on http://{args.serve_host}:{server.port}/",
               flush=True)
         server.serve_while_rendering(args.frames)
@@ -276,15 +290,16 @@ def main(argv=None) -> int:
 
         from .io.exr import read_exr
         from .io.png import write_png
-        from .utils.compare import comparison_image, downsample, metrics
+        from .utils.compare import blit_display, downsample, metrics
 
         gold, _ = read_exr(golden_path(args.scene, args.depth))
         gold = downsample(gold, r.state.height, r.state.width)
         img = r.image(rgb=True)  # spectral S>3 collapses to the golden's RGB
-        diff = comparison_image(
-            img, gold, ComparisonMode(args.compare_mode), args.compare_scale
+        diff = blit_display(
+            img, gold, ComparisonMode(args.compare_mode), args.compare_scale,
+            tonemap=r.cfg.enable_tone_mapping, manual_srgb=r.cfg.manual_srgb,
         )
-        write_png(args.compare_out, np.clip(diff, 0.0, 1.0))
+        write_png(args.compare_out, diff)
         print("wrote", args.compare_out, metrics(img, gold))
     return 0
 

@@ -48,7 +48,9 @@ class NoiseMode(enum.IntEnum):
 class RenderConfig:
     # --- feature flags (defaults = reference macro block, Raytracing.h:11-33) ---
     enable_tone_mapping: bool = False      # ENABLE_TONE_MAPPING
-    manual_srgb: bool = False              # MANUAL_SRGB
+    manual_srgb: bool = False              # MANUAL_SRGB: sRGB-encode BEFORE
+    #   the comparison diff (in-shader) instead of after (framebuffer);
+    #   consulted by utils/compare.blit_display
     accumulate_image: bool = True          # ACCUMULATE_IMAGE
     distance_epsilon: float = 1e-4         # DISTANCE_EPSILON
     angle_epsilon: float = 0.00003807693583  # ANGLE_EPSILON

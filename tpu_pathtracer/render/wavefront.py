@@ -187,6 +187,11 @@ def _sorted_planes(key, pixel, planes, lowering):
     ``jnp.take`` per plane.  Both are bit-identical: ``lax.sort`` is stable,
     so the sorted iota IS the permutation the variadic form applies.
     """
+    if lowering not in ("variadic", "gather"):
+        # direct callers (scripts/tests) bypass RenderConfig validation; a
+        # typo must not silently pick the slow-compile variadic path
+        raise ValueError(f"unknown sort lowering {lowering!r}; "
+                         "expected 'variadic' or 'gather'")
     if lowering == "gather":
         n = key.shape[0]
         skey, spixel, perm = jax.lax.sort(

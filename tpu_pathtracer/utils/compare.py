@@ -111,3 +111,43 @@ def comparison_image(
         out[..., 1] = np.maximum(0.0, lum_r - lum_c) * scale
         return out
     raise ValueError(f"unknown comparison mode {mode}")
+
+
+def _srgb(v: np.ndarray) -> np.ndarray:
+    """numpy linear -> sRGB with [0,1] clamp (reference: Raytracing.h:130-135)."""
+    v = np.clip(v, 0.0, 1.0)
+    return np.where(v < 0.0031308, 12.92 * v, 1.055 * np.power(v, 1.0 / 2.4) - 0.055)
+
+
+def blit_display(
+    color: np.ndarray,
+    reference: np.ndarray | None = None,
+    mode: ComparisonMode = ComparisonMode.DISABLED,
+    scale: float = 10.0,
+    tonemap: bool = False,
+    manual_srgb: bool = False,
+) -> np.ndarray:
+    """The reference's full display pipeline, ordering included.
+
+    Reference: renderer/Shaders.metal:38-66 (the blit fragment) plus
+    renderer/Renderer.mm:88-94 (the framebuffer format choice MANUAL_SRGB
+    selects).  Order matters: exposure tonemap, then — iff MANUAL_SRGB —
+    an in-shader sRGB encode BEFORE the comparison diff; otherwise the
+    hardware sRGB framebuffer encodes whatever the shader outputs, diff
+    included.  The two orderings render identical pixels in normal display
+    and visibly different diffs in the comparison modes, which is exactly
+    the reference's observable behavior.
+
+    ``color`` is the linear accumulated image; ``reference`` the raw linear
+    golden (the reference samples it untransformed — quirk preserved).
+    """
+    c = np.asarray(color, np.float64)
+    if tonemap:
+        c = 1.0 - np.exp(-c)  # Shaders.metal:43-45
+    if manual_srgb:
+        c = _srgb(c)  # Shaders.metal:47-51
+    if mode != ComparisonMode.DISABLED and reference is not None:
+        c = comparison_image(c, np.asarray(reference, np.float64), mode, scale)
+    if not manual_srgb:
+        c = _srgb(c)  # BGRA8Unorm_sRGB framebuffer (Renderer.mm:93)
+    return np.clip(c, 0.0, 1.0)

@@ -29,16 +29,29 @@ _PAGE = """<!doctype html>
   #hud { margin: 0.6em 0; white-space: pre; }
 </style></head><body>
 <div id="hud">connecting...</div>
+<div id="bar"></div>
 <img id="view" alt="render">
 <script>
   const img = document.getElementById('view');
   const hud = document.getElementById('hud');
+  const bar = document.getElementById('bar');
+  // compare modes mirror the reference's blit shader (Shaders.metal:53-66);
+  // the selector only appears when the server has a golden loaded
+  let mode = 0;
   async function tick() {
     try {
       const s = await (await fetch('stats.json')).json();
       hud.textContent = `${s.scene}  ${s.width}x${s.height}  frame ${s.frame}` +
         `  [${s.mrays_per_s.toFixed(2)} Mrays/s, ${s.ms_per_frame.toFixed(1)} ms/frame]`;
-      img.src = 'frame.png?t=' + Date.now();
+      if (s.has_golden && !bar.firstChild) {
+        const sel = document.createElement('select');
+        ['render', 'abs diff', 'ref-color', 'color-ref', 'luminance']
+          .forEach((t, i) => sel.add(new Option(t, i)));
+        sel.onchange = () => { mode = sel.value; };
+        bar.appendChild(sel);
+      }
+      img.src = (mode > 0 ? `compare.png?mode=${mode}&` : 'frame.png?')
+        + 't=' + Date.now();
     } catch (e) { hud.textContent = 'renderer offline: ' + e; }
   }
   img.onload = () => setTimeout(tick, 250);
@@ -55,17 +68,24 @@ class ViewerServer:
     """
 
     def __init__(self, renderer, scene_name: str = "scene",
-                 host: str = "127.0.0.1", port: int = 8787):
+                 host: str = "127.0.0.1", port: int = 8787,
+                 golden=None):
         # loopback by default: the endpoints are unauthenticated; pass
         # host="0.0.0.0" (CLI --serve-host) to expose them deliberately
         self.renderer = renderer
         self.scene_name = scene_name
+        # optional (H, W, 3) linear golden at render resolution: enables the
+        # live /compare.png diff view (the reference blits this every frame,
+        # reference: renderer/Shaders.metal:53-66, Renderer.mm:611-622)
+        self.golden = golden
         self.lock = threading.Lock()
         # last encoded frame: (frame_count, png bytes).  Polls for a frame
         # that is already encoded are served without touching the renderer,
         # so concurrent viewers cannot pile sync+transfer stalls onto the
         # render loop — at most one image grab happens per finished frame.
         self._png_cache: tuple[int, bytes] | None = None
+        # last encoded comparison frame: ((frame, mode, scale), png bytes)
+        self._cmp_cache: tuple[tuple, bytes] | None = None
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -106,6 +126,36 @@ class ViewerServer:
                                     body = png_bytes(img)
                                     viewer._png_cache = (count, body)
                             self._send(200, "image/png", body)
+                    elif path == "/compare.png" and viewer.golden is not None:
+                        from urllib.parse import parse_qs, urlparse
+
+                        from .config import ComparisonMode
+                        from .utils.compare import blit_display
+
+                        q = parse_qs(urlparse(self.path).query)
+                        mode = ComparisonMode(int(q.get("mode", ["1"])[0]))
+                        scale = float(q.get("scale", ["10"])[0])
+                        key = (viewer.renderer._frame_count, int(mode), scale)
+                        cached = viewer._cmp_cache
+                        if cached is not None and cached[0] == key:
+                            self._send(200, "image/png", cached[1])
+                        else:
+                            with viewer.lock:
+                                key = (viewer.renderer._frame_count,
+                                       int(mode), scale)
+                                cached = viewer._cmp_cache
+                                if cached is not None and cached[0] == key:
+                                    body = cached[1]
+                                else:
+                                    r = viewer.renderer
+                                    img = r.image(rgb=True)
+                                    body = png_bytes(blit_display(
+                                        img, viewer.golden, mode, scale,
+                                        tonemap=r.cfg.enable_tone_mapping,
+                                        manual_srgb=r.cfg.manual_srgb,
+                                    ))
+                                    viewer._cmp_cache = (key, body)
+                            self._send(200, "image/png", body)
                     elif path == "/stats.json":
                         with viewer.lock:
                             r = viewer.renderer
@@ -116,6 +166,7 @@ class ViewerServer:
                                 "height": r.state.height,
                                 "mrays_per_s": r._avg_rays_per_sec / 1e6,
                                 "ms_per_frame": r._avg_frame_time * 1e3,
+                                "has_golden": viewer.golden is not None,
                             }
                         self._send(200, "application/json",
                                    json.dumps(stats).encode())
