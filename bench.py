@@ -119,6 +119,13 @@ def main() -> None:
                     default=None,
                     help="A/B cfg.sort_lowering (variadic lax.sort vs "
                          "argsort+gather; the latter compiles ~100x faster)")
+    ap.add_argument("--mesh", default=None, metavar="TILESxSPP",
+                    help="multi-chip aggregate bench: shard the frame over a "
+                         "('tiles','spp') device mesh (e.g. 4x2) and report "
+                         "aggregate Mrays/s.  Needs that many devices — on a "
+                         "single-chip host set JAX_PLATFORMS=cpu and "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "to measure the scaling SHAPE on a virtual mesh")
     ap.add_argument("--progressive", action="store_true",
                     help="also measure BASELINE.json's secondary metric — "
                          "progressive spp/sec on the cornellbox scene at the "
@@ -142,7 +149,14 @@ def main() -> None:
         samples_per_frame=args.spp, max_path_length=args.depth,
         intersector=args.intersector, row_tiles=args.row_tiles, **over,
     )
-    r = Renderer(args.scene, width=args.width, height=args.height, cfg=cfg)
+    mesh = None
+    if args.mesh:
+        from tpu_pathtracer.parallel.tiles import make_mesh
+
+        n_tiles, n_spp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_tiles, n_spp)
+    r = Renderer(args.scene, width=args.width, height=args.height, cfg=cfg,
+                 mesh=mesh)
 
     for _ in range(args.warmup):
         r.step()
@@ -176,8 +190,11 @@ def main() -> None:
     honest_mrays = traced / frame_time / 1e6
 
     img = r.image()
+    metric = (f"traced_mrays_per_sec_aggregate_{args.mesh}mesh_{args.spp}spp"
+              if mesh is not None
+              else f"traced_mrays_per_sec_per_chip_1080p_{args.spp}spp")
     result = {
-        "metric": f"traced_mrays_per_sec_per_chip_1080p_{args.spp}spp",
+        "metric": metric,
         "value": round(honest_mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(honest_mrays / BASELINE_MRAYS, 4),
@@ -193,6 +210,7 @@ def main() -> None:
         "resolution": f"{args.width}x{args.height}",
         "path_depth": args.depth,
         "device": str(jax.devices()[0]),
+        "mesh": args.mesh,
         "finite": bool(np.isfinite(img).all()),
         "image_mean": round(float(img.mean()), 5),
     }

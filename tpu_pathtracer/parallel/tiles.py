@@ -101,6 +101,16 @@ def render_frame_distributed(
         )
     tile_h = full_height // n_tiles
     shard_spp = cfg.samples_per_frame // n_spp
+    # sequential row tiles WITHIN each chip's row shard: same HBM-bounding
+    # semantics as the single-chip path (render/state.render_frame), applied
+    # to the per-chip tile — e.g. 4K frames at fuse_samples=4 on an 8-chip
+    # mesh still need per-chip wavefront bounding.
+    row_tiles = max(1, cfg.row_tiles)
+    if tile_h % row_tiles:
+        raise ValueError(
+            f"row_tiles {row_tiles} must divide the per-chip tile height "
+            f"{tile_h} (= height {full_height} / {n_tiles} tiles)")
+    sub_h = tile_h // row_tiles
 
     @partial(
         jax.shard_map,
@@ -118,7 +128,18 @@ def render_frame_distributed(
         intersect: IntersectFn | None = (
             intersect_factory(scene_rep) if intersect_factory else None
         )
-        total = sample_sum(
+        total = jnp.concatenate([
+            sample_sum(
+                scene_rep, cfg, camera, sub_h, full_width, key, frame_index,
+                intersect,
+                row0=tile_idx * tile_h + r * sub_h,
+                full_height=full_height,
+                full_width=full_width,
+                sample0=spp_idx * shard_spp,
+                sample_count=shard_spp,
+            )
+            for r in range(row_tiles)
+        ], axis=0) if row_tiles > 1 else sample_sum(
             scene_rep, cfg, camera, tile_h, full_width, key, frame_index,
             intersect,
             row0=tile_idx * tile_h,
@@ -137,13 +158,16 @@ def render_frame_distributed(
     )
 
 
-def render_frame_distributed_jit(mesh: Mesh, cfg: RenderConfig, intersect_factory=None):
+def render_frame_distributed_jit(mesh: Mesh, cfg: RenderConfig,
+                                 camera: Camera | None = None,
+                                 intersect_factory=None):
     """Build the jitted distributed step (donating the accumulator)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: RenderState, scene: Scene) -> RenderState:
         return render_frame_distributed(
-            state, scene, cfg, mesh, intersect_factory=intersect_factory
+            state, scene, cfg, mesh, camera=camera,
+            intersect_factory=intersect_factory,
         )
 
     return step

@@ -73,13 +73,6 @@ class Renderer:
         if mesh is not None:
             from .parallel.tiles import render_frame_distributed_jit
 
-            if camera is not None:
-                raise NotImplementedError("mesh + custom camera not wired yet")
-            if self.cfg.row_tiles > 1:
-                # the distributed step shards rows across the mesh already and
-                # does not consult row_tiles; failing beats silently ignoring
-                # an HBM-bounding flag (bound memory via fuse_samples instead)
-                raise NotImplementedError("mesh + row_tiles not wired yet")
             # each shard gets the SAME intersection pipeline the single-chip
             # path uses (BVH layouts ride in as replicated closure constants;
             # without a factory the distributed step falls back to brute)
@@ -89,7 +82,7 @@ class Renderer:
                 return make_intersector(scene_rep, cfg_, layout_, layout_occl_)
 
             self._step = render_frame_distributed_jit(
-                mesh, self.cfg, intersect_factory=_factory
+                mesh, self.cfg, camera=camera_, intersect_factory=_factory
             )
         else:
             @partial(jax.jit, donate_argnums=(0,))
