@@ -207,6 +207,33 @@ def test_pallas_window_block_widths(scene_and_layout):
         )
 
 
+def test_pallas_window_hbm_matches_vmem(scene_and_layout):
+    """The HBM-streaming window kernel (triangle table in pltpu.ANY, MT
+    blocks DMA'd through double-buffered scratch) is a pure memory-placement
+    change: results must equal the VMEM-resident window kernel bit-for-bit,
+    for nearest-hit and t_max-capped queries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=17)
+    cap = jnp.full((256,), 2.0)
+    with pltpu.force_tpu_interpret_mode():
+        h0 = pt.intersect_bvh_window(o, d, lay, tile=128)
+        h1 = pt.intersect_bvh_window(o, d, lay, tile=128, hbm=True)
+        c0 = pt.intersect_bvh_window(
+            o, d, lay, tile=128, t_max=cap, resolve=False)
+        c1 = pt.intersect_bvh_window(
+            o, d, lay, tile=128, t_max=cap, resolve=False, hbm=True)
+    for a, b in ((h0, h1), (c0, c1)):
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+        np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+        np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+        np.testing.assert_array_equal(
+            np.asarray(a.normal), np.asarray(b.normal))
+
+
 def test_pallas_occlusion_capped(scene_and_layout):
     """resolve=False + t_max: the occlusion path must report exactly the
     hits the brute oracle finds within the cap."""

@@ -170,6 +170,47 @@ def test_vmem_budget_guard(big_scene):
     assert not pallas_tables_fit(cfg, small_lay, big_lay)
 
 
+def test_hbm_tier_selection(big_scene, monkeypatch):
+    """Past the VMEM budget, hbm_tables='auto' must pick the HBM-streaming
+    Pallas kernel (node tables fit; triangle table streams), 'off' must keep
+    the round-3 pure-JAX fallback, and 'on' must force streaming even for
+    small scenes.  Backend pinned to a fake TPU; the factory is stubbed so
+    no Mosaic compilation happens on CPU."""
+    import tpu_pathtracer.render.wavefront as wf
+    from tpu_pathtracer.render.wavefront import layout_hbm_vmem_bytes
+    from tpu_pathtracer.scene import load_scene, scene_path
+
+    big_lay = build_layout(big_scene, leaf_size=16)
+    assert layout_hbm_vmem_bytes(big_lay) < 12 * 2 ** 20  # nodes fit
+
+    calls = []
+
+    def fake_factory(lay, **kw):
+        calls.append(kw)
+        return lambda *a, **k: None
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import tpu_pathtracer.ops.pallas_traverse as pt
+
+    monkeypatch.setattr(pt, "make_pallas_intersector", fake_factory)
+
+    cfg = RenderConfig()
+    wf.make_intersector(big_scene, cfg, big_lay)
+    assert calls and calls[-1]["hbm"] is True
+
+    with pytest.warns(RuntimeWarning, match="pure-JAX"):
+        wf.make_intersector(big_scene, cfg.replace(hbm_tables="off"),
+                            big_lay)
+    assert len(calls) == 1  # fell back, factory not called
+
+    small = load_scene(scene_path("cornellbox"))
+    small_lay = build_layout(small, leaf_size=8)
+    wf.make_intersector(small, cfg, small_lay)
+    assert calls[-1]["hbm"] is False
+    wf.make_intersector(small, cfg.replace(hbm_tables="on"), small_lay)
+    assert calls[-1]["hbm"] is True
+
+
 def test_large_scene_renders(big_scene):
     # production wavefront path (sorted pipeline, NEE + MIS) on the 130K-tri
     # scene at a tiny frame: finite, lit, and the lamp lights the terrain

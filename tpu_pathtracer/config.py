@@ -228,6 +228,13 @@ class RenderConfig:
     # falls back to the pure-JAX walker with a RuntimeWarning instead of
     # failing Mosaic compilation.  ~12 MB = roughly 120-140K triangles.
     vmem_table_budget_mb: float = 12.0
+    # Production-scale traversal for scenes past the VMEM table budget:
+    # "auto" keeps the whole-table kernels while they fit and switches to
+    # the HBM-streaming window kernel (triangle table in HBM/pltpu.ANY,
+    # demanded MT blocks DMA'd through double-buffered VMEM scratch) when
+    # they don't; "on" forces HBM streaming regardless of size (A/B);
+    # "off" restores the round-3 behavior (pure-JAX walker fallback).
+    hbm_tables: str = "auto"
     # Guard against 0/0 -> NaN when a sampled pdf underflows to exactly zero.
     pdf_floor: float = 1e-20
     # Progressive frames kept in flight before the host blocks: the analog of
@@ -248,6 +255,7 @@ class RenderConfig:
             "intersector": ("bvh", "brute"),
             "resolve_gather": ("rows", "cols", "percol"),
             "sort_lowering": ("variadic", "gather"),
+            "hbm_tables": ("auto", "on", "off"),
         }
         for field, allowed in checks.items():
             v = getattr(self, field)

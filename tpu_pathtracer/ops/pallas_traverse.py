@@ -684,6 +684,7 @@ def _window_kernel(
     meta_ref,      # (M8+8, 4) i32 [miss, first*64+count, tri_start, 0]
     tris_ref,      # (T8, 16) f32 BW rows (col 12 = leaf id) or (T8, 24) MT
     *rest,         # [pre_ref if n_prepass] + [out_ref (8, TILE)]
+                   # + [tscratch (2, mtblock, C), tsem (2,)] if hbm
     num_nodes: int,
     num_tris: int,
     t_min: float,
@@ -695,7 +696,11 @@ def _window_kernel(
     tritest: str = "bw",
     anchor: tuple = (0.0, 0.0, 0.0),
     mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
+    hbm: bool = False,      # triangle table in HBM; MT blocks DMA'd into
+                            # double-buffered VMEM scratch (production scale)
 ):
+    if hbm:
+        rest, tscratch, tsem = rest[:-2], rest[-2], rest[-1]
     if n_prepass:
         pre_ref, out_ref = rest
     else:
@@ -806,18 +811,53 @@ def _window_kernel(
         def mt_cond(ic):
             return ic[0] < nblocks
 
+        def mt_test(tb, r0, bst):
+            leafid = tb[:, leaf_col:leaf_col + 1].astype(jnp.int32)  # (B, 1)
+            pred = leafid == cur[None, :]
+            row_ids = (r0 + iota_b).astype(jnp.float32)
+            return _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
+                         tritest=tritest, latch=latch)
+
         def mt_body(ic):
             i, bst = ic
             r0 = a_lo + i * mtblock
             tb = tris_ref[pl.ds(r0, mtblock), :]
-            leafid = tb[:, leaf_col:leaf_col + 1].astype(jnp.int32)  # (B, 1)
-            pred = leafid == cur[None, :]
-            row_ids = (r0 + iota_b).astype(jnp.float32)
-            return i + 1, _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
-                                tritest=tritest, latch=latch)
+            return i + 1, mt_test(tb, r0, bst)
+
+        # HBM variant: the triangle table never enters VMEM whole — each
+        # demanded mtblock is DMA'd into double-buffered scratch, with the
+        # next block's copy in flight while the current block's plane tests
+        # run (the canonical Pallas double-buffering pattern).  This is what
+        # removes the ~140K-triangle VMEM ceiling.
+        def mt_dma(i, slot):
+            return pltpu.make_async_copy(
+                tris_ref.at[pl.ds(a_lo + i * mtblock, mtblock), :],
+                tscratch.at[slot],
+                tsem.at[slot],
+            )
+
+        def mt_body_hbm(ic):
+            i, bst = ic
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < nblocks)
+            def _():
+                mt_dma(i + 1, 1 - slot).start()
+
+            mt_dma(i, slot).wait()
+            return i + 1, mt_test(tscratch[slot], a_lo + i * mtblock, bst)
 
         if not mt_off:
-            _, best = jax.lax.while_loop(mt_cond, mt_body, (jnp.int32(0), best))
+            if hbm:
+                @pl.when(nblocks > 0)
+                def _():
+                    mt_dma(jnp.int32(0), jnp.int32(0)).start()
+
+                _, best = jax.lax.while_loop(
+                    mt_cond, mt_body_hbm, (jnp.int32(0), best))
+            else:
+                _, best = jax.lax.while_loop(
+                    mt_cond, mt_body, (jnp.int32(0), best))
 
         # advance lanes off their (tested) leaf rows
         onleaf = mask & isleaf8
@@ -850,9 +890,15 @@ def intersect_bvh_window(
     mt_off: bool = False,
     raw: bool = False,
     gather: str = "rows",
+    hbm: bool = False,
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
     ``raw`` returns the unresolved ((8, N) [t, row] rows, t_max) pair instead.
+
+    ``hbm`` keeps the triangle table in HBM (``pltpu.ANY``) and streams
+    demanded MT blocks through double-buffered VMEM scratch — the
+    production-scale mode for scenes past the VMEM table budget (the node
+    tables, ~48 B/node, stay VMEM-resident to ~10M+ triangles).
 
     Same hits as :func:`intersect_bvh_pallas` (``tritest="bw"`` computes t
     with the Baldwin-Weber plane form, so near-exact shared-edge ties may
@@ -890,25 +936,33 @@ def intersect_bvh_window(
         tritest=tritest,
         anchor=lay.anchor,
         mt_off=mt_off,
+        hbm=hbm,
     )
+    tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
+    pre_tab = lay.prepass if tritest == "mt" else lay.prepassbw
     in_specs = [
         pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM),
     ]
-    tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
-    pre_tab = lay.prepass if tritest == "mt" else lay.prepassbw
     inputs = [rays, lay.nodes8, lay.meta4, tris_tab]
     if prepass:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(pre_tab[:prepass])
+    scratch_shapes = []
+    if hbm:
+        scratch_shapes = [
+            pltpu.VMEM((2, mtblock, tris_tab.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+        scratch_shapes=scratch_shapes,
     )(*inputs)
 
     if raw:
@@ -1029,6 +1083,7 @@ def make_pallas_intersector(
     anyhit: bool = True,
     eps: float = 1e-4,
     gather: str = "rows",
+    hbm: bool = False,
 ):
     """Build the production intersection callable.
 
@@ -1048,30 +1103,41 @@ def make_pallas_intersector(
 
     def fn(o, d, active, t_max=None, coherent=False):
         if t_max is not None:
+            if hbm:
+                # production scale: capped nearest-hit through the HBM window
+                # kernel (the v1 occlusion form needs the whole triangle
+                # table in VMEM); wavefront.occlusion_clear applies the
+                # nearest-hit-must-be-target semantics to the result
+                return intersect_bvh_window(
+                    o, d, lay, t_min=t_min, active=active,
+                    tile=occlusion_tile, t_max=t_max, resolve=False,
+                    prepass=prepass, chain=chain, mtblock=mtblock,
+                    tritest=tritest, gather=gather, hbm=True,
+                )
             # capped occlusion-style query (shadow rays): v1 kernel skips the
             # payload resolve and the cap prunes subtrees beyond the light
             return intersect_bvh_pallas(
                 o, d, occl, t_min=t_min, active=active, tile=occlusion_tile,
                 t_max=t_max, resolve=False, prepass=0,
             )
-        if kernel == "window":
+        if kernel == "window" or hbm:
             if coherent:
                 return intersect_bvh_window(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
                     prepass=prepass, chain=chain, mtblock=mtblock,
-                    tritest=tritest, gather=gather,
+                    tritest=tritest, gather=gather, hbm=hbm,
                 )
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
                 prepass=prepass, chain=secondary_chain,
                 window=secondary_window, mtblock=secondary_mtblock,
-                tritest=tritest, gather=gather,
+                tritest=tritest, gather=gather, hbm=hbm,
             )
         return intersect_bvh_pallas(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
 
-    if anyhit:
+    if anyhit and not hbm:
         def occlusion(o, d, active, t_max, target):
             return occlusion_clear_anyhit(
                 o, d, occl, active, t_max, target, eps=eps, t_min=t_min,

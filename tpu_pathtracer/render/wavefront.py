@@ -333,6 +333,16 @@ def layout_vmem_bytes(lay) -> int:
     return max(v1, window_mt, window_bw)
 
 
+def layout_hbm_vmem_bytes(lay) -> int:
+    """VMEM-resident bytes of the HBM-streaming window kernel: node tables
+    + prepass block only (the triangle table stays in HBM; MT blocks stream
+    through a fixed double-buffered scratch)."""
+    return sum(
+        a.size * a.dtype.itemsize
+        for a in (lay.nodes8, lay.meta4, lay.prepassbw)
+    )
+
+
 def pallas_tables_fit(cfg: RenderConfig, lay, lay_occl=None) -> bool:
     """True when every layout's tables fit the per-kernel VMEM budget
     (cfg.vmem_table_budget_mb) with room left for the ray tiles."""
@@ -355,20 +365,31 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
     # take the pure-JAX fallback — the Pallas TPU kernels cannot lower on
     # either.
     on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-    if cfg.use_pallas and on_tpu and not pallas_tables_fit(cfg, lay, lay_occl):
-        # Production-scale guard: the Pallas kernels hold the whole node +
-        # triangle tables in VMEM (~16 MB/core); past ~100-150K triangles
-        # Mosaic cannot place them and compilation fails.  Fall back to the
-        # pure-JAX walker (same BVH, XLA-managed HBM) instead of crashing.
-        import warnings
+    hbm = cfg.hbm_tables == "on"
+    if (cfg.use_pallas and on_tpu and not hbm
+            and not pallas_tables_fit(cfg, lay, lay_occl)):
+        # Production-scale guard: the whole-table Pallas kernels hold the
+        # node + triangle tables in VMEM (~16 MB/core); past ~100-150K
+        # triangles Mosaic cannot place them.  hbm_tables="auto" switches to
+        # the HBM-streaming window kernel (node tables VMEM, triangle table
+        # streamed — good to ~10M+ triangles); "off" restores the pure-JAX
+        # walker fallback.
+        budget = int(cfg.vmem_table_budget_mb * 2 ** 20)
+        if (cfg.hbm_tables == "auto"
+                and layout_hbm_vmem_bytes(lay) <= budget):
+            hbm = True
+        else:
+            import warnings
 
-        warnings.warn(
-            f"scene BVH tables exceed the Pallas VMEM budget "
-            f"({cfg.vmem_table_budget_mb} MB, cfg.vmem_table_budget_mb); "
-            "using the pure-JAX traversal fallback", RuntimeWarning,
-            stacklevel=2,
-        )
-        on_tpu = False
+            warnings.warn(
+                f"scene BVH tables exceed the Pallas VMEM budget "
+                f"({cfg.vmem_table_budget_mb} MB, cfg.vmem_table_budget_mb) "
+                f"and hbm_tables={cfg.hbm_tables!r} does not permit the "
+                "HBM-streaming kernel; using the pure-JAX traversal "
+                "fallback", RuntimeWarning,
+                stacklevel=2,
+            )
+            on_tpu = False
     if cfg.use_pallas and on_tpu:
         from ..ops.pallas_traverse import make_pallas_intersector
 
@@ -391,6 +412,7 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
                         and scene.env is not None)),
             eps=cfg.distance_epsilon,
             gather=cfg.resolve_gather,
+            hbm=hbm,
         )
     from ..ops.traverse import make_bvh_intersector
 
