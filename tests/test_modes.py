@@ -302,6 +302,7 @@ def test_tiled_noise_structure_matches_reference():
     np.testing.assert_array_equal(cj[1], cam_tile[jx + jy * nd][:, 1])
 
 
+@pytest.mark.slow
 def test_live_prefix_ladder_matches_full_width():
     # The ladder (RenderConfig.live_ladder) runs each bounce on the shortest
     # static prefix covering every live lane; per-lane math is width- and
@@ -325,6 +326,7 @@ def test_live_prefix_ladder_matches_full_width():
     assert (a == b).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_prefix_sort_matches_full_width_sorts():
     # cfg.prefix_sort runs each bounce's wavefront sort at the rung width the
     # previous bounce compacted the live lanes into, instead of full width.
@@ -347,6 +349,7 @@ def test_prefix_sort_matches_full_width_sorts():
     assert (a == b).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_prefix_sort_hero_and_fused():
     # prefix_sort's rung-width sort must carry every payload plane the
     # full-width sort carries: the (C, N) hero-bin plane (scatter-add image
@@ -371,6 +374,7 @@ def test_prefix_sort_hero_and_fused():
         np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_live_prefix_ladder_with_hero_bins():
     # Ladder slicing must also carry the (C, N) hero-bin plane and the
     # scatter-add image assembly; compare against the full-width pipeline.
@@ -430,6 +434,7 @@ def test_fused_samples_hero_spectral():
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_row_tiles_bit_identical():
     """cfg.row_tiles renders the frame in sequential row tiles; output is
     identical up to float summation order (same bound as the multi-chip
@@ -460,6 +465,7 @@ def test_row_tiles_bit_identical():
         render_frame_jit(init_state(25, 32), scene, base.replace(row_tiles=4))
 
 
+@pytest.mark.slow
 def test_gather_sort_lowering_full_frame_identical():
     # cfg.sort_lowering="gather" replaces the variadic bounce sort with an
     # argsort + per-plane gathers; lax.sort stability makes the permutation
@@ -479,6 +485,7 @@ def test_gather_sort_lowering_full_frame_identical():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_gather_sort_lowering_with_prefix_sort():
     # The attractive combination: prefix_sort compiles one sort instance per
     # ladder rung, and the gather lowering makes each instance near-free to

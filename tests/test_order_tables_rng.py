@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpu_pathtracer.ops.rng import uniforms
@@ -84,6 +85,7 @@ def test_exact_ray_count_matches_probe_at_same_resolution():
     assert n <= exact <= n * (2 * cfg.max_path_length + 1)
 
 
+@pytest.mark.slow
 def test_exact_ray_count_invariant_to_row_tiles_and_fusion():
     """Per-lane ray counts are a pure function of each lane's absolute-pixel
     RNG stream, so the exact counter must return the SAME total however the

@@ -47,6 +47,7 @@ def test_graft_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_fresh_process():
     """Run the dryrun the way the DRIVER does: a fresh Python process with no
     conftest/env preparation, where the container site hook may register a
@@ -103,6 +104,7 @@ def test_multihost_mesh_single_process_and_gather():
         make_multihost_mesh(n_spp=3)
 
 
+@pytest.mark.slow
 def test_renderer_mesh_equals_single_chip():
     """Renderer(mesh=...) — the user-facing multi-chip driver (CLI --mesh) —
     is bit-identical to the single-chip Renderer, including checkpoint
@@ -133,6 +135,7 @@ def test_renderer_mesh_equals_single_chip():
         np.testing.assert_allclose(a.image(), c.image(), atol=4e-6)
 
 
+@pytest.mark.slow
 def test_renderer_mesh_camera_and_row_tiles():
     """mesh + custom camera and mesh + row_tiles (VERDICT r3 weak #4): both
     must match the single-chip renderer with the same settings."""

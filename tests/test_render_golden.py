@@ -48,6 +48,7 @@ def test_whitebox_direct():
     assert 0.95 < m["mean_ratio"] < 1.05, m
 
 
+@pytest.mark.slow
 def test_quirk_free_estimator_also_matches():
     img = _render("cornellbox", 8, spp=48, reference_quirks=False)
     m = metrics(img, _golden("cornellbox", 8))
@@ -67,6 +68,7 @@ def test_deterministic_given_seed():
 # renders are deterministic (counter-based RNG), so the bounds are executable
 # regression gates around the measured values, not statistical tolerances.
 
+@pytest.mark.slow
 def test_water_plastic_bounded_by_golden():
     # measured rel_mse 0.092, mean_ratio 1.169 (materials differ in golden)
     img = _render("CornellBox-Water-plastic", 2, spp=16)
@@ -76,6 +78,7 @@ def test_water_plastic_bounded_by_golden():
     assert 1.08 < m["mean_ratio"] < 1.26, m
 
 
+@pytest.mark.slow
 def test_water_depth8_matches_golden():
     # the non-refracting dielectric still lands close on this golden:
     # measured rel_mse 0.090, mean_ratio 1.045 at 8 spp
@@ -97,6 +100,7 @@ def test_water_depth8_matches_golden():
         (False, 1.00, 1.12),
     ],
 )
+@pytest.mark.slow
 def test_water_mirror_energy_split(quirks, lo, hi):
     img = _render("CornellBox-Water-mirror", 3, spp=16, reference_quirks=quirks)
     m = metrics(img, _golden("CornellBox-Water-mirror", 3))
@@ -122,6 +126,7 @@ _SG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
     "CornellBox-Water-mirror",
     "CornellBox-Water-plastic",
 ])
+@pytest.mark.slow
 def test_bvh_matches_brute_self_golden(scene_name):
     path = os.path.join(_SG_DIR, f"{scene_name}-8.exr")
     if not os.path.exists(path):

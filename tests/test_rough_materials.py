@@ -182,6 +182,7 @@ def test_rough_scene_renders_finite(ks, mtype):
                          # out under the reference's x-pdf emitter quirk,
                          # which rough scenes therefore do not apply
 ])
+@pytest.mark.slow
 def test_rough_mis_select_p_invariance(ks, quirks):
     """The estimator stays select_p-invariant with a GGX floor: the
     emitter-hit arm must MIS against NEE through the GGX pdf (a missing or

@@ -211,6 +211,7 @@ def test_hbm_tier_selection(big_scene, monkeypatch):
     assert calls[-1]["hbm"] is True
 
 
+@pytest.mark.slow
 def test_large_scene_renders(big_scene):
     # production wavefront path (sorted pipeline, NEE + MIS) on the 130K-tri
     # scene at a tiny frame: finite, lit, and the lamp lights the terrain

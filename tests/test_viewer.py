@@ -55,8 +55,13 @@ def test_viewer_serves_progressive_render():
 
 def test_viewer_compare_endpoint():
     """/compare.png serves the live golden diff; 404 without a golden."""
-    cfg = RenderConfig(samples_per_frame=1, max_path_length=2, intersector="brute")
+    # max_frames=1: serve_while_rendering(frames=0) renders UNTIL stop(), so
+    # an uncapped renderer advances _frame_count between the two GETs below
+    # and the cache key legitimately changes (the test was flaky without it)
+    cfg = RenderConfig(samples_per_frame=1, max_path_length=2,
+                       intersector="brute", max_frames=1)
     r = Renderer("cornellbox", cfg=cfg, width=32, height=24)
+    r.run(1)  # reach the frame cap BEFORE serving: the GETs see one stable frame
     golden = np.full((24, 32, 3), 0.25, np.float32)
     server = ViewerServer(r, scene_name="cornellbox", host="127.0.0.1",
                           port=0, golden=golden)
