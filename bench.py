@@ -119,6 +119,10 @@ def main() -> None:
                     default=None,
                     help="A/B cfg.sort_lowering (variadic lax.sort vs "
                          "argsort+gather; the latter compiles ~100x faster)")
+    ap.add_argument("--cull-zero-nee", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="A/B cfg.cull_zero_nee (skip occlusion walks for "
+                         "shadow rays with exactly-zero NEE contribution)")
     ap.add_argument("--mesh", default=None, metavar="TILESxSPP",
                     help="multi-chip aggregate bench: shard the frame over a "
                          "('tiles','spp') device mesh (e.g. 4x2) and report "
@@ -143,6 +147,8 @@ def main() -> None:
         over["resolve_gather"] = args.resolve_gather
     if args.sort_lowering is not None:
         over["sort_lowering"] = args.sort_lowering
+    if args.cull_zero_nee is not None:
+        over["cull_zero_nee"] = args.cull_zero_nee
     if args.fuse is not None:
         over["fuse_samples"] = args.fuse
     cfg = RenderConfig(

@@ -60,7 +60,8 @@ def measure(name, cfg_kwargs, scene, width, height, depth, frames, warmup,
 
     # exact traced-ray numerator — depends only on the sampling config, so
     # cache it across variants that share (spp, fuse, row_tiles)
-    key = (cfg.samples_per_frame, cfg.fuse_samples, cfg.row_tiles)
+    key = (cfg.samples_per_frame, cfg.fuse_samples, cfg.row_tiles,
+           getattr(cfg, "cull_zero_nee", True))
     if key not in traced_cache:
         from tpu_pathtracer.render.stats import count_traced_rays_exact
 

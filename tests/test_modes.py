@@ -508,3 +508,28 @@ def test_gather_sort_lowering_with_prefix_sort():
     a, b = np.asarray(r0.image()), np.asarray(r1.image())
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_cull_zero_nee_bit_identical():
+    # cfg.cull_zero_nee skips occlusion walks for shadow rays whose
+    # precomputed NEE contribution is exactly zero in every bin (delta-lobe
+    # lanes: the mirror sphere here).  A clear shadow ray adds contrib and an
+    # occluded one adds 0, so culling a contrib==0 lane changes nothing; the
+    # wavefront sort's KEY planes don't involve light_ok, so the lane order
+    # (and therefore every fma grouping) is unchanged -> bitwise equality.
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=5, intersector="bvh",
+        secondary_tile=256, live_ladder=2, cull_zero_nee=False,
+    )
+    size = dict(width=96, height=64)
+    r0 = Renderer("CornellBox-Water-plastic", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer(
+        "CornellBox-Water-plastic", cfg=base.replace(cull_zero_nee=True),
+        **size,
+    )
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)

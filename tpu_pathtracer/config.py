@@ -184,6 +184,15 @@ class RenderConfig:
     # the transposed table, "percol" = C independent 1D takes.  Element-
     # identical; A/B with scripts/perf_gather_probe.py before switching.
     resolve_gather: str = "rows"
+    # Cull NEE shadow rays whose precomputed contribution is EXACTLY zero in
+    # every spectrum bin — delta-lobe lanes (mirror, smooth dielectric) always
+    # are, since their BSDF eval returns 0 (reference:
+    # renderer/KernelHelpers.h:56-114 — the reference still traces these,
+    # renderer/Shaders.metal:149-176).  Bit-exact by construction: a clear
+    # shadow ray adds contrib, an occluded one adds 0, and 0 == 0; gated by a
+    # full-frame equality test (tests/test_modes.py).  On the bench scene both
+    # spheres are delta, so the occlusion walks drop those lanes' demands.
+    cull_zero_nee: bool = True
     # Sort the wavefront before each secondary bounce by (alive, direction
     # octant, origin Morton cell): dead rays compact into tiles that exit
     # instantly and live rays regain tile coherence (the BASELINE.json

@@ -591,6 +591,13 @@ def trace_bounce(
         nee_contrib = nee_contrib * bsdf_lib.dispersion_weights(
             m_type, m_ior, m_ior_bins, w_i, hn, lobe_u, 1.0
         )
+    if cfg.cull_zero_nee:
+        # A shadow ray whose contribution is exactly zero in every bin adds
+        # zero whether clear or occluded — skip its occlusion walk entirely.
+        # Delta-lobe lanes (mirror/smooth-dielectric eval == 0,
+        # reference: renderer/KernelHelpers.h:70-95) always qualify; the
+        # reference traces them anyway (renderer/Shaders.metal:149-176).
+        light_ok = light_ok & jnp.any(nee_contrib != 0.0, axis=0)
     shadow_origin = hp + hn * eps
 
     # ---- BSDF-arm MIS when the path hits an emitter ----
