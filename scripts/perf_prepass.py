@@ -78,6 +78,9 @@ def main():
     for wdw, mtb in ((16, 24), (16, 32), (24, 16), (8, 16)):
         plan.append((f"diffuse_w{wdw}_m{mtb}", "diffuse_sorted",
                      sec(32, window=wdw, mtblock=mtb)))
+    # big-tile check upward (r3 swept only downward from 768)
+    for tile in (1536, 3072):
+        plan.append((f"diffuse_t{tile}", "diffuse_sorted", sec(32, tile=tile)))
 
     outs = {}
     for name, wname, fn in plan:

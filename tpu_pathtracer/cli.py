@@ -121,10 +121,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "ladder's rung width instead of full width (saves "
                         "sort network on mostly-dead late bounces; costs one "
                         "compiled sort instance per rung)")
-    p.add_argument("--no-cull-zero-nee", action="store_true",
-                   help="trace NEE shadow rays even when their contribution "
-                        "is exactly zero (the reference's behavior; the "
-                        "default culls them — bit-identical images)")
+    p.add_argument("--cull-zero-nee", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="skip occlusion walks for NEE shadow rays whose "
+                        "contribution is exactly zero (delta-lobe lanes); "
+                        "bit-identical images.  Pays on delta-heavy scenes "
+                        "(dielectric water); a wash on Water-plastic "
+                        "(measured r4, docs/ROADMAP.md)")
     p.add_argument("--sort-lowering", choices=("variadic", "gather"),
                    default="variadic",
                    help="wavefront-sort lowering: 'variadic' (runtime-"
@@ -178,7 +181,7 @@ def main(argv=None) -> int:
         comparison_scale=args.compare_scale,
         row_tiles=args.row_tiles,
         prefix_sort=args.prefix_sort,
-        cull_zero_nee=not args.no_cull_zero_nee,
+        cull_zero_nee=args.cull_zero_nee,
         sort_lowering=args.sort_lowering,
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,

@@ -190,9 +190,13 @@ class RenderConfig:
     # renderer/KernelHelpers.h:56-114 — the reference still traces these,
     # renderer/Shaders.metal:149-176).  Bit-exact by construction: a clear
     # shadow ray adds contrib, an occluded one adds 0, and 0 == 0; gated by a
-    # full-frame equality test (tests/test_modes.py).  On the bench scene both
-    # spheres are delta, so the occlusion walks drop those lanes' demands.
-    cull_zero_nee: bool = True
+    # full-frame equality test (tests/test_modes.py).  Default OFF after the
+    # round-4 A/B (docs/ROADMAP.md): on Water-plastic the culled lanes
+    # (~3.9% of shadow rays, the mirror sphere's) ride tile unions the live
+    # lanes demand anyway, so the frame got only 3.4 ms faster — tile-union
+    # economics make co-resident zero lanes nearly free.  Turn it on for
+    # delta-heavy scenes (the dielectric water surface in CornellBox-Water).
+    cull_zero_nee: bool = False
     # Sort the wavefront before each secondary bounce by (alive, direction
     # octant, origin Morton cell): dead rays compact into tiles that exit
     # instantly and live rays regain tile coherence (the BASELINE.json
