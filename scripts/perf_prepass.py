@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,9 +29,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from perf_traverse import W, H, make_workloads, time_variant  # noqa: E402
+from perf_traverse import W, H, make_workloads  # noqa: E402
 from tpu_pathtracer.accel import build_layout  # noqa: E402
 from tpu_pathtracer.ops.pallas_traverse import (  # noqa: E402
     intersect_bvh_pallas,
@@ -56,18 +58,37 @@ def main():
     n = W * H
 
     # production shapes: coherent (tile 1536, win 8, mtblock 56, chain 4) and
-    # secondary (tile 768, win 16, mtblock 16, chain 6) — config.py defaults
+    # secondary (tile 768, win 16, mtblock 16, chain 6) — config.py defaults.
+    # Time via an ON-DEVICE scalar reduce (perf_window_ab's pattern): pulling
+    # the (8, 2M) raw output D2H costs ~1.4 s through the relay and drowns
+    # the ~220 ms walk (the first run of this script made that mistake).
     def coh(pre):
-        return jax.jit(lambda o, d, a, _p=pre: intersect_bvh_window(
+        return jax.jit(lambda o, d, a, _p=pre: jnp.sum(intersect_bvh_window(
             o, d, lay, active=a, tile=1536, prepass=_p, chain=4, window=8,
-            mtblock=56, raw=True))
+            mtblock=56, raw=True)[0][0, ::997]))
 
     def sec(pre, window=16, mtblock=16, chain=6, tile=768):
         return jax.jit(
             lambda o, d, a, _p=pre, _w=window, _m=mtblock, _c=chain, _t=tile:
-            intersect_bvh_window(
+            jnp.sum(intersect_bvh_window(
                 o, d, lay, active=a, tile=_t, prepass=_p, chain=_c,
-                window=_w, mtblock=_m, raw=True))
+                window=_w, mtblock=_m, raw=True)[0][0, ::997]))
+
+    def sec_raw(pre):
+        return jax.jit(lambda o, d, a, _p=pre: intersect_bvh_window(
+            o, d, lay, active=a, tile=768, prepass=_p, chain=6,
+            window=16, mtblock=16, raw=True))
+
+    def time_variant(fn, args, reps):
+        out = fn(*args)
+        float(out)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        import numpy as _np
+        return min(ts), float(_np.median(ts))
 
     plan = []
     for pre in (0, 32, 64):
@@ -82,21 +103,23 @@ def main():
     for tile in (1536, 3072):
         plan.append((f"diffuse_t{tile}", "diffuse_sorted", sec(32, tile=tile)))
 
-    outs = {}
     for name, wname, fn in plan:
         o, d, a, _ = workloads[wname]
         tmin, tmed = time_variant(fn, (o, d, a), args.reps)
-        outs[name] = fn(o, d, a)
         print(f"{name:20s} best {tmin*1e3:8.2f} ms  med {tmed*1e3:8.2f} ms  "
               f"{n/tmin/1e6:8.1f} Mrays/s", flush=True)
 
-    # parity: prepass depth must not change hits (same t, same winning row)
-    for a_, b_ in (("diffuse_pre0", "diffuse_pre32"),
-                   ("diffuse_pre32", "diffuse_pre64")):
-        (ra, _), (rb, _) = outs[a_], outs[b_]
-        ta, tb = np.asarray(ra[0]), np.asarray(rb[0])
-        print(f"parity {a_} vs {b_}: max|dt| {np.abs(ta-tb).max():.2e}  "
-              f"row-match {(np.asarray(ra[1])==np.asarray(rb[1])).mean():.6f}",
+    # parity: prepass depth must not change hits (same t, same winning row);
+    # misses carry t=inf, so compare where BOTH are finite plus the miss set
+    o, d, a, _ = workloads["diffuse_sorted"]
+    raws = {p: sec_raw(p)(o, d, a)[0] for p in (0, 32, 64)}
+    for pa, pb in ((0, 32), (32, 64)):
+        ta, tb = np.asarray(raws[pa][0]), np.asarray(raws[pb][0])
+        fin = np.isfinite(ta) & np.isfinite(tb)
+        print(f"parity pre{pa} vs pre{pb}: "
+              f"miss-match {(np.isfinite(ta) == np.isfinite(tb)).mean():.6f}  "
+              f"max|dt| {np.abs(ta[fin]-tb[fin]).max():.2e}  "
+              f"row-match {(np.asarray(raws[pa][1])==np.asarray(raws[pb][1]))[fin].mean():.6f}",
               flush=True)
 
 

@@ -60,17 +60,15 @@ def main():
     print("device execute OK", flush=True)
 
     queue = [
-        # r3/r4a behavior == today's defaults minus the cull (drift anchor)
+        # r3/r4a behavior (drift anchor; cull defaults False since d674aa0)
         ("variadic-nocull", {"cull_zero_nee": False}),
-        # the new default: exact-zero NEE culling on
+        # the defaults as shipped
         ("variadic", {}),
+        # exact-zero NEE culling forced on (measure on delta-heavy scenes)
+        ("variadic+cull", {"cull_zero_nee": True}),
         # prefix-width bounce sorts under the variadic lowering
         ("variadic+prefix", {"prefix_sort": True}),
-        # both new knobs together (the candidate round-4 default set)
-        ("variadic+prefix+cull", {"prefix_sort": True}),  # cull is default-on
     ]
-    # dedupe: variadic+prefix already has cull on by default
-    queue = [q for q in queue if q[0] != "variadic+prefix+cull"]
     if args.variants:
         want = set(args.variants.split(","))
         queue = [q for q in queue if q[0] in want]
