@@ -36,10 +36,16 @@ from tpu_pathtracer.renderer import Renderer  # noqa: E402
 BASELINE_MRAYS = 100.0
 
 
-def _device_watchdog(spp: int, timeout_s: float = 300.0) -> None:
+def _device_watchdog(spp: int, timeout_s: float = 900.0) -> None:
     """Fail loudly if backend init hangs (an unreachable TPU relay blocks
     ``jax.devices()`` forever — a bounded error JSON beats an infinite hang
-    for whoever is collecting the bench line)."""
+    for whoever is collecting the bench line).
+
+    900 s, not 300: a HEALTHY relay was measured taking 204 s from
+    enumeration to the first scalar execute (Aug 19 r4 session — program
+    load / worker handshake, not a wedge), so 300 s misclassifies slow
+    inits as failures.  The watchdog exists to catch infinite hangs only.
+    """
     import os
     import threading
 
@@ -119,6 +125,9 @@ def main() -> None:
                     default=None,
                     help="A/B cfg.sort_lowering (variadic lax.sort vs "
                          "argsort+gather; the latter compiles ~100x faster)")
+    ap.add_argument("--sort-skip", default=None, metavar="B1,B2",
+                    help="A/B cfg.sort_bounce_skip (bounce indices whose "
+                         "wavefront sort is skipped, e.g. '1,6,7')")
     ap.add_argument("--cull-zero-nee", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="A/B cfg.cull_zero_nee (skip occlusion walks for "
@@ -147,6 +156,8 @@ def main() -> None:
         over["resolve_gather"] = args.resolve_gather
     if args.sort_lowering is not None:
         over["sort_lowering"] = args.sort_lowering
+    if args.sort_skip is not None:
+        over["sort_bounce_skip"] = args.sort_skip
     if args.cull_zero_nee is not None:
         over["cull_zero_nee"] = args.cull_zero_nee
     if args.fuse is not None:

@@ -486,6 +486,43 @@ def test_gather_sort_lowering_full_frame_identical():
 
 
 @pytest.mark.slow
+def test_sort_bounce_skip_matches_default():
+    # cfg.sort_bounce_skip: a skipped bounce reuses the previous bounce's
+    # lane order and ladder rung.  Exact because dead lanes never revive —
+    # every live lane still sits inside the last sorted prefix — so the only
+    # permitted deltas are fma-fusion differences across rung widths (the
+    # skipped bounce may run a wider compiled branch than the eager ladder
+    # would pick).  Skips at the loop's first and last bounce exercise both
+    # the idx carry init and the stale-rung reuse.
+    base = RenderConfig(
+        samples_per_frame=1, max_path_length=6, intersector="bvh",
+        secondary_tile=256, live_ladder=2,
+    )
+    size = dict(width=128, height=96)
+    r0 = Renderer("cornellbox", cfg=base, **size)
+    r0.run(2)
+    r1 = Renderer(
+        "cornellbox", cfg=base.replace(sort_bounce_skip="1,4,5"), **size
+    )
+    r1.run(2)
+    a, b = np.asarray(r0.image()), np.asarray(r1.image())
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
+def test_sort_bounce_skip_validation():
+    with pytest.raises(ValueError, match="sort_bounce_skip"):
+        RenderConfig(sort_bounce_skip="0")
+    with pytest.raises(ValueError, match="sort_bounce_skip"):
+        RenderConfig(sort_bounce_skip="8", max_path_length=8)
+    with pytest.raises(ValueError, match="sort_bounce_skip"):
+        RenderConfig(sort_bounce_skip="1;2")
+    with pytest.raises(ValueError, match="prefix_sort"):
+        RenderConfig(sort_bounce_skip="1", prefix_sort=True)
+    RenderConfig(sort_bounce_skip="1,7", max_path_length=8)  # valid
+
+
+@pytest.mark.slow
 def test_gather_sort_lowering_with_prefix_sort():
     # The attractive combination: prefix_sort compiles one sort instance per
     # ladder rung, and the gather lowering makes each instance near-free to

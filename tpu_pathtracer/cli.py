@@ -128,6 +128,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "bit-identical images.  Pays on delta-heavy scenes "
                         "(dielectric water); a wash on Water-plastic "
                         "(measured r4, docs/ROADMAP.md)")
+    p.add_argument("--sort-skip", default="", metavar="B1,B2",
+                   help="bounce indices whose wavefront sort is skipped "
+                        "(e.g. '1,6,7'); exact — live lanes stay inside the "
+                        "last sorted prefix — at the cost of a staler tile "
+                        "order for those bounces' walks")
     p.add_argument("--sort-lowering", choices=("variadic", "gather"),
                    default="variadic",
                    help="wavefront-sort lowering: 'variadic' (runtime-"
@@ -183,6 +188,7 @@ def main(argv=None) -> int:
         prefix_sort=args.prefix_sort,
         cull_zero_nee=args.cull_zero_nee,
         sort_lowering=args.sort_lowering,
+        sort_bounce_skip=args.sort_skip,
         spectrum_samples=args.spectrum,
         hero_wavelengths=args.hero,
     )

@@ -224,6 +224,17 @@ class RenderConfig:
     # hot spot — docs/ROADMAP.md), hence opt-in until the A/B says the
     # runtime win pays for it.
     prefix_sort: bool = False
+    # Bounce indices (comma-separated, 1-based loop indices in
+    # [1, max_path_length)) whose wavefront sort is SKIPPED.  The sort is the
+    # one remaining full-width op per bounce (~28 ms/bounce of keys + packing
+    # + network at 2M lanes, r4 ablation: sort machinery = 226 ms/frame); a
+    # skipped bounce reuses the previous bounce's lane order and ladder rung
+    # — exact, because dead lanes never revive, so every live lane still
+    # sits inside the last sorted prefix.  The trade is a staler tile order
+    # for that bounce's walks.  Candidates: "1" (primary hits are already
+    # screen-block-coherent) and late bounces (live count changes slowly).
+    # Empty = sort every bounce (the default pipeline).
+    sort_bounce_skip: str = ""
     # Wavefront-sort lowering.  "variadic" = one lax.sort carrying every
     # state plane as payload (runtime-optimal: the sort network moves the
     # rows in place, ~8-15 ms/2M lanes — but the TPU lowering's COMPILE
@@ -274,6 +285,22 @@ class RenderConfig:
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"{field}={v!r}: expected one of {allowed}")
+        if self.sort_bounce_skip:
+            try:
+                skip = [int(x) for x in self.sort_bounce_skip.split(",")]
+            except ValueError:
+                raise ValueError(
+                    f"sort_bounce_skip={self.sort_bounce_skip!r}: expected "
+                    "comma-separated bounce indices, e.g. '1,6,7'")
+            bad = [b for b in skip if not 1 <= b < self.max_path_length]
+            if bad:
+                raise ValueError(
+                    f"sort_bounce_skip entries {bad} outside the bounce loop "
+                    f"range [1, {self.max_path_length})")
+            if self.prefix_sort:
+                raise ValueError(
+                    "sort_bounce_skip is incompatible with prefix_sort (the "
+                    "prefix loop's rung IS its sort width)")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

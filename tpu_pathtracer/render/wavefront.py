@@ -963,19 +963,41 @@ def render_sample(
         else:
             sorted_loop_done = False
 
+        # static set of bounces whose sort is skipped (cfg.sort_bounce_skip):
+        # exact, because a bounce only kills lanes — every live lane still
+        # sits inside the last sorted prefix, so the stale order and the
+        # stale ladder rung (carried through the loop) both stay valid
+        skip = (tuple(int(x) for x in cfg.sort_bounce_skip.split(","))
+                if cfg.sort_bounce_skip else ())
+        skip_arr = jnp.asarray(skip, jnp.int32) if skip else None
+
         def body(b, carry):
-            st, pk, cnt = carry
-            st, pk = sort_wavefront(st, wmin, winv, pk,
-                                    lowering=cfg.sort_lowering)
+            st, pk, cnt, idx = carry
+            if skip_arr is not None:
+                do_skip = jnp.any(skip_arr == b)
+                st, pk = jax.lax.cond(
+                    do_skip,
+                    lambda s, p: (s, p),
+                    lambda s, p: sort_wavefront(
+                        s, wmin, winv, p, lowering=cfg.sort_lowering),
+                    st, pk,
+                )
+            else:
+                do_skip = None
+                st, pk = sort_wavefront(st, wmin, winv, pk,
+                                        lowering=cfg.sort_lowering)
             if len(sizes) == 1:
                 nst, npk, nr = stage(b, st, pk)
-                return nst, npk, cnt + nr
+                return nst, npk, cnt + nr, idx
             # after the sort every live lane sits in the prefix; pick the
             # shortest compiled prefix that covers them all
             live = jnp.sum(st.alive.astype(jnp.int32))
-            idx = jnp.int32(0)
+            nidx = jnp.int32(0)
             for s in sizes[1:]:
-                idx = idx + (live <= s).astype(jnp.int32)
+                nidx = nidx + (live <= s).astype(jnp.int32)
+            # without a fresh sort the live lanes are compacted only to the
+            # LAST sorted rung — a tighter prefix would cut live lanes off
+            idx = nidx if do_skip is None else jnp.where(do_skip, idx, nidx)
 
             def make_branch(s):
                 def br(st, pk):
@@ -999,11 +1021,12 @@ def render_sample(
             nst, npk, nr = jax.lax.switch(
                 idx, [make_branch(s) for s in sizes], st, pk
             )
-            return nst, npk, cnt + nr
+            return nst, npk, cnt + nr, idx
 
         if not sorted_loop_done:
-            state, pack, nrays = jax.lax.fori_loop(
-                1, cfg.max_path_length, body, (state, pack, nrays)
+            state, pack, nrays, _ = jax.lax.fori_loop(
+                1, cfg.max_path_length, body,
+                (state, pack, nrays, jnp.int32(0)),
             )
         # the final bounce's pack is empty by construction: NEE is gated by
         # bounce + 1 < max_path_length (reference: renderer/Shaders.metal:158)
