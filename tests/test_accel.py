@@ -511,3 +511,239 @@ def test_resolve_gather_modes_identical():
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         if bake:
             assert hs["rows"].mataux is not None
+
+
+def test_pallas_sweep_matches_window(scene_and_layout):
+    """The dense-sweep kernel (v3, no navigation) must find the same nearest
+    hits as the window walk.  NOT bit-for-bit: the walk may skip a subtree
+    whose slab ``enter`` rounds to >= best_t while a triangle inside beats
+    best_t by an ulp (tt >= enter holds only up to FMA roundoff) — the sweep
+    tests every row, so t can differ in the last ulp and near-exact ties can
+    pick the other coplanar triangle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=31)
+    cap = jnp.full((256,), 2.0)
+    act = jnp.arange(256) % 3 != 0
+
+    def check(hw, hs):
+        tw, ts = np.asarray(hw.t), np.asarray(hs.t)
+        assert (np.isfinite(tw) == np.isfinite(ts)).all()
+        both = np.isfinite(tw)
+        np.testing.assert_allclose(tw[both], ts[both], rtol=1e-6)
+        agree = (np.asarray(hw.tri)[both] == np.asarray(hs.tri)[both]).mean()
+        assert agree > 0.99, agree
+
+    with pltpu.force_tpu_interpret_mode():
+        for tt in ("bw", "mt"):
+            hw = pt.intersect_bvh_window(
+                o, d, lay, tile=128, prepass=0, tritest=tt)
+            hs = pt.intersect_bvh_sweep(
+                o, d, lay, tile=128, mtblock=16, tritest=tt)
+            check(hw, hs)
+            cw = pt.intersect_bvh_window(
+                o, d, lay, tile=128, prepass=0, tritest=tt, t_max=cap,
+                active=act, resolve=False)
+            cs = pt.intersect_bvh_sweep(
+                o, d, lay, tile=128, mtblock=16, tritest=tt, t_max=cap,
+                active=act, resolve=False)
+            check(cw, cs)
+            # block width is a pure execution-order knob WITHIN the sweep
+            hs2 = pt.intersect_bvh_sweep(
+                o, d, lay, tile=128, mtblock=8, tritest=tt)
+            np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hs2.t))
+            np.testing.assert_array_equal(
+                np.asarray(hs.tri), np.asarray(hs2.tri))
+
+
+def test_window_with_orig(scene_and_layout):
+    """with_orig: raw row 2 carries the winner's ORIGINAL triangle id
+    (match against the resolved HitShade.tri; -1 on misses)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=37)
+    with pltpu.force_tpu_interpret_mode():
+        raw, tmax = pt.intersect_bvh_window(
+            o, d, lay, tile=128, raw=True, with_orig=True)
+        hw = pt.intersect_bvh_window(o, d, lay, tile=128)
+    orig = np.asarray(raw[2]).astype(np.int32)
+    hitm = np.isfinite(np.asarray(hw.t))
+    np.testing.assert_array_equal(orig[hitm], np.asarray(hw.tri)[hitm])
+    assert (orig[~hitm] == -1).all()
+
+
+def test_fused_walk_matches_separate(scene_and_layout):
+    """fn.fused (one 2N-lane walk) must reproduce (a) the separate nearest-
+    hit window walk bit-for-bit — per-lane traversal is tile-composition-
+    invariant — and (b) the nearest-hit==target occlusion semantics."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    eps = 1e-4
+    n = 256
+    o0, d0 = _random_rays(n, key=41)
+    hb = intersect_brute(o0, d0, scene.p0, scene.p1, scene.p2)
+    hit_ok = np.isfinite(np.asarray(hb.t))
+    t_safe = jnp.where(jnp.isfinite(hb.t), hb.t, 1.0)
+    origin = o0 + t_safe[None] * d0 - d0 * eps
+    # path continuation: mirror-ish random directions
+    _, d1 = _random_rays(n, key=43)
+    # NEE-shaped shadow queries at the same origins
+    key = jax.random.PRNGKey(47)
+    k1, k2, k3 = jax.random.split(key, 3)
+    num_lights = int(scene.light_tri.shape[0]) - 1
+    li = jax.random.randint(k1, (n,), 0, max(num_lights, 1))
+    tgt = scene.light_tri[li].astype(jnp.int32)
+    r1 = jax.random.uniform(k2, (n,))
+    r2 = jax.random.uniform(k3, (n,))
+    su = 1.0 - jnp.sqrt(r1)
+    sv = jnp.sqrt(r1) * r2
+    p0 = scene.p0[:, tgt]
+    p1 = scene.p1[:, tgt]
+    p2 = scene.p2[:, tgt]
+    lp = p0 + su[None] * (p1 - p0) + sv[None] * (p2 - p0)
+    delta = lp - origin
+    dist = jnp.linalg.norm(delta, axis=0)
+    nee_d = delta / jnp.maximum(dist, 1e-12)[None]
+    cap = dist + 4.0 * eps
+    is_env = jnp.arange(n) % 5 == 0
+    tgt = jnp.where(is_env, -1, tgt)
+    cap = jnp.where(is_env, 1e30, cap)
+    alive = jnp.asarray(hit_ok)
+    sok = alive & (jnp.arange(n) % 7 != 0)
+
+    fn = pt.make_pallas_intersector(
+        lay, tile=128, occlusion_tile=128, secondary_tile=128, prepass=8,
+        anyhit=False, eps=eps, tritest="mt",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        hit_f, clear_f = fn.fused(origin, d1, alive, nee_d, sok, cap, tgt)
+        hit_s = fn(origin, d1, alive, coherent=False)
+        occ = pt.intersect_bvh_pallas(
+            origin, nee_d, lay, tile=128, t_max=cap, active=sok,
+            resolve=False, prepass=0,
+        )
+    # (a) nearest-hit record identical to the separate walk
+    for a, b in zip(jax.tree.leaves(hit_f), jax.tree.leaves(hit_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (b) occlusion clear == the v1 nearest-hit==target formulation; t values
+    # differ only by block-vs-scalar FMA contraction (rtol ~1e-6), so allow
+    # the same tiny boundary-mismatch band the any-hit test uses
+    valid = np.isfinite(np.asarray(occ.t))
+    clear_near = np.asarray(sok) & np.where(
+        np.asarray(tgt) >= 0,
+        valid & (np.asarray(occ.t) >= eps)
+        & (np.asarray(occ.tri) == np.asarray(tgt)),
+        ~valid,
+    )
+    mismatch = (np.asarray(clear_f) != clear_near).mean()
+    assert mismatch < 2e-3, mismatch
+
+
+def test_full_frame_fused_and_sweep_match_baseline():
+    """One frame through the sorted-wavefront pipeline with (a) the fused
+    path+shadow walk and (b) the dense-sweep secondary kernel == the
+    separate-walk window baseline (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.camera import Camera
+    from tpu_pathtracer.ops import pallas_traverse as pt
+    from tpu_pathtracer.render.state import init_state, render_frame
+
+    scene = load_scene(scene_path("cornellbox"))
+    lay = build_layout(scene, leaf_size=4)
+    cam = Camera.reference_default()
+
+    def frame(cfg, **isect_kw):
+        isect = pt.make_pallas_intersector(
+            lay, tile=128, occlusion_tile=128, secondary_tile=128,
+            prepass=8, **isect_kw,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = render_frame(init_state(24, 32), scene, cfg, cam, isect)
+            return np.asarray(out.accum)
+
+    base_cfg = RenderConfig(
+        samples_per_frame=1, max_path_length=3, use_pallas=True,
+        traversal_tile=128, occlusion_tile=128, secondary_tile=128,
+    )
+    accum_base = frame(base_cfg)
+    assert np.isfinite(accum_base).all()
+    accum_fused = frame(base_cfg.replace(fuse_shadow_walk=True))
+    np.testing.assert_allclose(accum_fused, accum_base, atol=2e-5)
+    accum_sweep = frame(
+        base_cfg.replace(traversal_kernel="sweep", sweep_tile=128,
+                         sweep_mtblock=16),
+        kernel="sweep", sweep_tile=128, sweep_mtblock=16,
+    )
+    np.testing.assert_allclose(accum_sweep, accum_base, atol=2e-5)
+    # fused + sweep combined
+    accum_fs = frame(
+        base_cfg.replace(traversal_kernel="sweep", sweep_tile=128,
+                         sweep_mtblock=16, fuse_shadow_walk=True),
+        kernel="sweep", sweep_tile=128, sweep_mtblock=16,
+    )
+    np.testing.assert_allclose(accum_fs, accum_base, atol=2e-5)
+
+
+def test_window_with_counts(scene_and_layout):
+    """with_counts must not change the hits, tested must be tile-uniform and
+    >= useful, and useful must be positive for a live wavefront."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=53)
+    with pltpu.force_tpu_interpret_mode():
+        raw, _ = pt.intersect_bvh_window(
+            o, d, lay, tile=128, raw=True, with_counts=True, prepass=8)
+        hw = pt.intersect_bvh_window(o, d, lay, tile=128, prepass=8)
+    t_counted = np.where(np.asarray(raw[0]) < np.inf, raw[0], np.inf)
+    np.testing.assert_array_equal(t_counted, np.asarray(hw.t))
+    tested = np.asarray(raw[6])
+    useful = np.asarray(raw[7])
+    # tested is the tile's row count: identical for every lane of a tile
+    assert (tested[:128] == tested[0]).all()
+    assert (tested[128:] == tested[128]).all()
+    assert tested[0] >= 8  # at least the prepass rows
+    assert (useful <= tested).all()
+    assert useful.sum() > 0
+
+
+def test_utilization_report_interpret():
+    """The bench's utilization block computes on a real frame's secondary
+    wavefront and satisfies its own invariants (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops import pallas_traverse as pt
+    from tpu_pathtracer.render.stats import utilization_report
+
+    scene = load_scene(scene_path("cornellbox"))
+    lay = build_layout(scene, leaf_size=4)
+    cfg = RenderConfig(
+        max_path_length=3, traversal_tile=128, secondary_tile=128,
+        occlusion_tile=128, traversal_prepass=8,
+    )
+    isect = pt.make_pallas_intersector(
+        lay, tile=128, occlusion_tile=128, secondary_tile=128, prepass=8)
+    with pltpu.force_tpu_interpret_mode():
+        rep = utilization_report(
+            scene, cfg, lay, 24, 32, isect,
+            traced_per_frame=3e3, frame_time_s=0.1,
+        )
+    assert rep["live_rays"] > 0
+    assert 0.0 < rep["mt_lane_utilization"] <= 1.0
+    assert rep["useful_lane_ops_per_ray"] <= rep["spent_lane_ops_per_ray"]
+    assert rep["est_vpu_peak_pct"] > 0
+    assert rep["est_hbm_gb_per_s_model"] > 0

@@ -59,7 +59,8 @@ class BVHLayout(NamedTuple):
     meta4: jnp.ndarray           # (M8 + 8, 4) int32
     tris8: jnp.ndarray           # (T8, 24) float32
     # Baldwin-Weber intersection rows, same row indexing as tris8:
-    # (T8, 16) f32 [n0.xyz d0 | n1.xyz d1 | n2.xyz d2 | leaf_id, pad3] — the
+    # (T8, 16) f32 [n0.xyz d0 | n1.xyz d1 | n2.xyz d2 | leaf_id, orig_id,
+    # pad2] — the
     # hit test becomes three plane evaluations (t = -(n0.o+d0)/(n0.d),
     # u = n1.p+d1, v = n2.p+d2 at p = o+t*d), ~20% fewer vector ops per
     # tested row than Moller-Trumbore and no cross products in the hot loop.
@@ -289,11 +290,16 @@ def dfs_layout(
         out[:, 8:11] = n2
         out[:, 11] = -(n2 * p0r).sum(1)
         out[:, 12] = leaf_col
+        # col 13: original triangle id, so the fused path+shadow walk can
+        # latch the occlusion target id without a row gather (MT rows carry
+        # it in col 9)
+        out[:, 13] = tri_rows[:, 9]
         return out
 
     tris8bw = bw_rows(tris8, tris8[:, 21])
     tris8bw[num_tris:] = 0.0  # sentinel + pad rows can never hit (den == 0)
     tris8bw[num_tris:, 12] = -1.0
+    tris8bw[num_tris:, 13] = -1.0
     prepassbw = bw_rows(prepass, prepass[:, 21])
     prepassbw[by_area.size:] = 0.0
 

@@ -121,9 +121,16 @@ class RenderConfig:
     traversal_tile: int = 1536
     # Traversal kernel for nearest-hit queries: "window" (v2: 8/16-node DFS
     # windows tested as (W, TILE) vector blocks — fastest for incoherent
-    # wavefronts) or "minwalk" (v1: one node per step).  Occlusion queries
-    # (t_max-capped shadow rays) always use the v1 occlusion path, which
-    # skips payload resolve.
+    # wavefronts), "minwalk" (v1: one node per step), or "sweep" (v3: no BVH
+    # navigation at all — every tile tests every triangle block in one
+    # perfectly regular unrolled march, for SECONDARY bounces only; camera
+    # rays keep the window kernel).  "sweep" is a MEASURED NEGATIVE on the
+    # bench scene: 580 ms vs the window walk's 196 on the production
+    # bounce-1 wavefront (scripts/perf_kernel_probe.py, docs/ROADMAP.md r5
+    # probe) — the walk's demand pruning beats total regularity even when a
+    # sorted tile demands most of the tree.  Kept as the executable record
+    # of that result.  Occlusion queries (t_max-capped shadow rays) always
+    # use the v1 occlusion path, which skips payload resolve.
     traversal_kernel: str = "window"
     # In-register window chain depth (advance rounds per window fetch).
     traversal_chain: int = 4
@@ -137,6 +144,11 @@ class RenderConfig:
     secondary_window: int = 8
     secondary_mtblock: int = 16
     secondary_chain: int = 6
+    # Dense-sweep kernel parameters (traversal_kernel="sweep"): the sweep
+    # has no tile-union penalty (every tile tests every triangle block), so
+    # it wants the biggest tile that fits VMEM and fat blocks.
+    sweep_tile: int = 6144
+    sweep_mtblock: int = 56
     # Ray-tile width for occlusion (shadow) queries: coherent + range-capped
     # walks are short, so bigger tiles amortize per-program cost best
     # (6144: 48 ms vs 3072: 55 at leaf8).
@@ -157,6 +169,22 @@ class RenderConfig:
     # or "mt" (classic Moller-Trumbore).  An MXU dot-product formulation of
     # the BW planes measured 1.4-1.7x slower (docs/ROADMAP.md).
     tritest: str = "bw"
+    # Fuse the NEE occlusion query into the path wavefront's traversal: each
+    # bounce runs ONE 2N-lane window walk (path lane, shadow lane interleaved
+    # at half-tile blocks — both rays depart the same hit point, so the tile
+    # union is paid once for both) instead of a nearest-hit walk plus a
+    # separate occlusion walk.  Shadow lanes seed best_t with their range cap
+    # and resolve gather-free from the kernel's latched original-triangle id
+    # (nearest-hit-must-be-target semantics, reference:
+    # renderer/Shaders.metal:214-231 — the reference's two
+    # encodeIntersectionToCommandBuffer calls per bounce, collapsed).
+    # MEASURED NEGATIVE on the bench scene: the 2N-lane walk costs 279.5 ms
+    # vs 243.1 for the separate pair (scripts/perf_kernel_probe.py) — the
+    # range-capped leaf8 occlusion walk is already 4x cheaper than the path
+    # walk, so fusing it INTO the expensive nearest-hit machinery loses.
+    # Kept (tested, exact) as the executable record of that result.
+    # Requires the Pallas window kernel (inert + warned otherwise).
+    fuse_shadow_walk: bool = False
     # BVH leaf sizes, A/B'd per query class on v5e (scripts, r3): nearest-hit
     # walks win with fat leaves (fewer demanded leaf blocks per tile union;
     # 48: 217 ms, 56: 211, 63: 214 on the 2M diffuse wavefront); range-capped
@@ -229,10 +257,13 @@ class RenderConfig:
     # one remaining full-width op per bounce (~28 ms/bounce of keys + packing
     # + network at 2M lanes, r4 ablation: sort machinery = 226 ms/frame); a
     # skipped bounce reuses the previous bounce's lane order and ladder rung
-    # — exact, because dead lanes never revive, so every live lane still
-    # sits inside the last sorted prefix.  The trade is a staler tile order
-    # for that bounce's walks.  Candidates: "1" (primary hits are already
-    # screen-block-coherent) and late bounces (live count changes slowly).
+    # — exact up to fma-fusion differences across compiled rung widths
+    # (dead lanes never revive, so every live lane still sits inside the
+    # last sorted prefix).  The trade is a staler tile order for that
+    # bounce's walks, and the r4d A/B says the trade LOSES at depth 8:
+    # skip "1" costs +13%, "1,6,7" +51% (docs/ROADMAP.md r4d table) — the
+    # sort's value is the NEXT walk's tile order, not the sorted rays'.
+    # Kept for depth-2 renders where bounce 1 is the only secondary.
     # Empty = sort every bounce (the default pipeline).
     sort_bounce_skip: str = ""
     # Wavefront-sort lowering.  "variadic" = one lax.sort carrying every
@@ -274,7 +305,7 @@ class RenderConfig:
         checks = {
             "occlusion_anyhit": ("on", "off", "auto"),
             "tritest": ("bw", "mt"),
-            "traversal_kernel": ("window", "minwalk"),
+            "traversal_kernel": ("window", "minwalk", "sweep"),
             "sampler": ("prng", "r2"),
             "intersector": ("bvh", "brute"),
             "resolve_gather": ("rows", "cols", "percol"),
@@ -291,7 +322,7 @@ class RenderConfig:
             except ValueError:
                 raise ValueError(
                     f"sort_bounce_skip={self.sort_bounce_skip!r}: expected "
-                    "comma-separated bounce indices, e.g. '1,6,7'")
+                    "comma-separated bounce indices, e.g. '1,6,7'") from None
             bad = [b for b in skip if not 1 <= b < self.max_path_length]
             if bad:
                 raise ValueError(
@@ -301,6 +332,21 @@ class RenderConfig:
                 raise ValueError(
                     "sort_bounce_skip is incompatible with prefix_sort (the "
                     "prefix loop's rung IS its sort width)")
+            if not self.sort_rays:
+                # The skip set only exists inside the sorted-wavefront loop;
+                # without sort_rays an A/B "with --sort-skip" measures nothing.
+                raise ValueError(
+                    "sort_bounce_skip requires sort_rays=True (there is no "
+                    "per-bounce sort to skip otherwise)")
+        if self.fuse_shadow_walk and (
+            self.intersector != "bvh" or not self.use_pallas
+            or not self.sort_rays
+        ):
+            raise ValueError(
+                "fuse_shadow_walk requires the Pallas BVH intersector with "
+                "sorted wavefronts (intersector='bvh', use_pallas=True, "
+                "sort_rays=True) — the fused 2N-lane walk rides the "
+                "deferred-shadow pipeline")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

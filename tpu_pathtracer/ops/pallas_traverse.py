@@ -620,12 +620,15 @@ def _mt8(tb, pred, dxyz, oxyz, t_min, best, row_ids, latch: str = "argmin"):
 
 
 def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
-          latch="argmin"):
+          latch="argmin", with_orig=False):
     """Slim block intersection: K triangle rows x TILE lanes -> (t, row).
 
     Only (best_t, best_row) latch in-kernel; u/v/material resolve happens
     outside via the row gather (resolve_window_payload), which removes ~1/3
     of the per-tested-row vector ops vs the full :func:`_mt8` latch.
+    ``with_orig`` additionally latches the winning row's ORIGINAL triangle
+    id (BW col 13 / MT col 9) so occlusion-target checks need no gather —
+    ``best`` is then (t, row, orig).
 
     ``tritest``:
     * ``"bw"`` — Baldwin-Weber precomputed plane rows (layout.tris8bw,
@@ -641,7 +644,12 @@ def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
     """
     ox, oy, oz = oxyz
     dx, dy, dz = dxyz
-    best_t, best_i = best
+    if with_orig:
+        best_t, best_i, best_orig = best
+        orig_col = 13 if tritest == "bw" else 9
+        origb = tb[:, orig_col:orig_col + 1]
+    else:
+        best_t, best_i = best
     if tritest == "bw":
         n0x, n0y, n0z, d0 = tb[:, 0:1], tb[:, 1:2], tb[:, 2:3], tb[:, 3:4]
         n1x, n1y, n1z, d1 = tb[:, 4:5], tb[:, 5:6], tb[:, 6:7], tb[:, 7:8]
@@ -670,11 +678,20 @@ def _hit8(tb, pred, dxyz, oxyz, t_min, best, row_ids, tritest="bw",
             okj = ok[j, :] & (tt[j, :] < best_t)
             best_t = jnp.where(okj, tt[j, :], best_t)
             best_i = jnp.where(okj, row_ids[j, 0], best_i)
+            if with_orig:
+                best_orig = jnp.where(okj, origb[j, 0], best_orig)
+        if with_orig:
+            return best_t, best_i, best_orig
         return best_t, best_i
     upd, tmin, pick = _argmin_pick(ok, tt, best_t, tb.shape[0])
     ridf = jnp.broadcast_to(row_ids.astype(jnp.float32), tt.shape)
     best_t = jnp.where(upd, tmin, best_t)
     best_i = jnp.where(upd, pick(ridf), best_i)
+    if with_orig:
+        best_orig = jnp.where(
+            upd, pick(jnp.broadcast_to(origb, tt.shape)), best_orig
+        )
+        return best_t, best_i, best_orig
     return best_t, best_i
 
 
@@ -698,7 +715,19 @@ def _window_kernel(
     mt_off: bool = False,   # diagnostic: skip leaf MT (results WRONG; timing only)
     hbm: bool = False,      # triangle table in HBM; MT blocks DMA'd into
                             # double-buffered VMEM scratch (production scale)
+    with_orig: bool = False,  # also latch the winner's ORIGINAL tri id
+                              # (out row 2) — the fused path+shadow walk's
+                              # gather-free occlusion-target check
+    with_counts: bool = False,  # lane-op accounting (utilization telemetry):
+                                # out row 6 = triangle rows this lane's TILE
+                                # tested (every lane pays each row — spent
+                                # lane-ops), row 7 = rows where THIS lane's
+                                # leaf predicate was true (useful lane-ops).
+                                # Prepass rows count as tested, not useful
+                                # (speculative priming).  VMEM path only.
 ):
+    if with_counts and hbm:
+        raise NotImplementedError("with_counts is VMEM-path telemetry only")
     if hbm:
         rest, tscratch, tsem = rest[:-2], rest[-2], rest[-1]
     if n_prepass:
@@ -732,6 +761,8 @@ def _window_kernel(
         t_max,                                       # best_t (primed by cap)
         jnp.full((tile,), float(num_tris), jnp.float32),  # row (sentinel)
     )
+    if with_orig:
+        best = best + (jnp.full((tile,), -1.0, jnp.float32),)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (mtblock, 1), 0)
 
@@ -742,14 +773,20 @@ def _window_kernel(
         tb = pre_ref[b * 8:(b + 1) * 8, :]
         best = _hit8(tb, pred_act, dxyz, oxyz, t_min, best,
                      tb[:, leaf_col:leaf_col + 1], tritest=tritest,
-                     latch=latch)
+                     latch=latch, with_orig=with_orig)
+
+    tested0 = jnp.full((tile,), float(n_prepass), jnp.float32)
+    useful0 = jnp.zeros((tile,), jnp.float32)
 
     # phase 1: window walk
     def cond(c):
         return jnp.min(c[0]) < sent
 
     def body(c):
-        cur, best = c
+        if with_counts:
+            cur, best, tested, useful = c
+        else:
+            cur, best = c
         best_t = best[0]
         w = jnp.min(cur) & ~jnp.int32(window - 1)
         nblk = nodes_ref[pl.ds(w, window), :]   # (W, 8)
@@ -815,14 +852,23 @@ def _window_kernel(
             leafid = tb[:, leaf_col:leaf_col + 1].astype(jnp.int32)  # (B, 1)
             pred = leafid == cur[None, :]
             row_ids = (r0 + iota_b).astype(jnp.float32)
-            return _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
-                         tritest=tritest, latch=latch)
+            nb = _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
+                       tritest=tritest, latch=latch, with_orig=with_orig)
+            if with_counts:
+                return nb, jnp.sum(pred.astype(jnp.float32), axis=0)
+            return nb, None
 
         def mt_body(ic):
+            if with_counts:
+                i, bst, tst, usf = ic
+                r0 = a_lo + i * mtblock
+                tb = tris_ref[pl.ds(r0, mtblock), :]
+                nb, up = mt_test(tb, r0, bst)
+                return i + 1, nb, tst + float(mtblock), usf + up
             i, bst = ic
             r0 = a_lo + i * mtblock
             tb = tris_ref[pl.ds(r0, mtblock), :]
-            return i + 1, mt_test(tb, r0, bst)
+            return i + 1, mt_test(tb, r0, bst)[0]
 
         # HBM variant: the triangle table never enters VMEM whole — each
         # demanded mtblock is DMA'd into double-buffered scratch, with the
@@ -845,7 +891,7 @@ def _window_kernel(
                 mt_dma(i + 1, 1 - slot).start()
 
             mt_dma(i, slot).wait()
-            return i + 1, mt_test(tscratch[slot], a_lo + i * mtblock, bst)
+            return i + 1, mt_test(tscratch[slot], a_lo + i * mtblock, bst)[0]
 
         if not mt_off:
             if hbm:
@@ -855,6 +901,9 @@ def _window_kernel(
 
                 _, best = jax.lax.while_loop(
                     mt_cond, mt_body_hbm, (jnp.int32(0), best))
+            elif with_counts:
+                _, best, tested, useful = jax.lax.while_loop(
+                    mt_cond, mt_body, (jnp.int32(0), best, tested, useful))
             else:
                 _, best = jax.lax.while_loop(
                     mt_cond, mt_body, (jnp.int32(0), best))
@@ -863,13 +912,27 @@ def _window_kernel(
         onleaf = mask & isleaf8
         leafstep = jnp.sum(jnp.where(onleaf, miss8, 0), axis=0)
         cur = jnp.where(jnp.any(onleaf, axis=0), leafstep, cur)
+        if with_counts:
+            return cur, best, tested, useful
         return cur, best
 
-    best = jax.lax.while_loop(cond, body, (cur0, best))[1]
+    if with_counts:
+        carry = jax.lax.while_loop(cond, body, (cur0, best, tested0, useful0))
+        best = carry[1]
+    else:
+        best = jax.lax.while_loop(cond, body, (cur0, best))[1]
     out_ref[0, :] = best[0]
     out_ref[1, :] = best[1]
-    for k in range(2, 8):
+    if with_orig:
+        out_ref[2, :] = best[2]
+    for k in range(3 if with_orig else 2, 6):
         out_ref[k, :] = zeros
+    if with_counts:
+        out_ref[6, :] = carry[2]
+        out_ref[7, :] = carry[3]
+    else:
+        out_ref[6, :] = zeros
+        out_ref[7, :] = zeros
 
 
 def intersect_bvh_window(
@@ -891,9 +954,13 @@ def intersect_bvh_window(
     raw: bool = False,
     gather: str = "rows",
     hbm: bool = False,
+    with_orig: bool = False,
+    with_counts: bool = False,
 ) -> HitShade:
     """Window-walk traversal (v2): o/d (3, N) rays -> HitShade.
-    ``raw`` returns the unresolved ((8, N) [t, row] rows, t_max) pair instead.
+    ``raw`` returns the unresolved ((8, N) [t, row] rows, t_max) pair instead
+    (row 2 = original tri id when ``with_orig``; rows 6/7 = tested/useful
+    lane-op counters when ``with_counts`` — utilization telemetry).
 
     ``hbm`` keeps the triangle table in HBM (``pltpu.ANY``) and streams
     demanded MT blocks through double-buffered VMEM scratch — the
@@ -937,6 +1004,8 @@ def intersect_bvh_window(
         anchor=lay.anchor,
         mt_off=mt_off,
         hbm=hbm,
+        with_orig=with_orig,
+        with_counts=with_counts,
     )
     tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
     pre_tab = lay.prepass if tritest == "mt" else lay.prepassbw
@@ -1065,6 +1134,167 @@ def resolve_window_payload(
     )
 
 
+# =====================================================================
+# Dense-sweep kernel (v3 candidate for incoherent wavefronts)
+# =====================================================================
+# Measured motivation (docs/ROADMAP.md, round-4 ablation): on the bundled
+# scenes a sorted 768-lane diffuse tile demands 100-150 of the scene's ~127
+# leaves — the window walk already sweeps nearly the whole triangle table,
+# paying box tests, chain logic and while-loop step overhead to *decide* to
+# do so.  The sweep kernel drops navigation entirely: one perfectly regular
+# march over every triangle block, all lanes, maximal block-op density.
+# Cost is exactly lanes x triangles, so it can only win for small scenes
+# (the VMEM-resident regime) on wavefronts whose tile unions approach the
+# whole tree; camera tiles and range-capped occlusion walks keep the
+# demand-driven kernels.
+
+
+def _sweep_kernel(
+    rays_ref,      # (8, TILE) f32: ox oy oz dx dy dz active t_max
+    tris_ref,      # (T8, 16) f32 BW rows or (T8, 24) MT rows
+    out_ref,       # (8, TILE) f32: [t, row, (orig), 0...]
+    *,
+    num_tris: int,
+    nblocks: int,
+    t_min: float,
+    mtblock: int,
+    latch: str,
+    tritest: str,
+    anchor: tuple,
+    with_orig: bool,
+):
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    act = rays_ref[6, :] > 0.0
+    t_max = rays_ref[7, :]
+    if tritest == "bw" and anchor != (0.0, 0.0, 0.0):
+        oxyz = (ox - anchor[0], oy - anchor[1], oz - anchor[2])
+    else:
+        oxyz = (ox, oy, oz)
+    dxyz = (dx, dy, dz)
+
+    tile = ox.shape[0]
+    zeros = jnp.zeros((tile,), jnp.float32)
+    best = (t_max, jnp.full((tile,), float(num_tris), jnp.float32))
+    if with_orig:
+        best = best + (jnp.full((tile,), -1.0, jnp.float32),)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (mtblock, 1), 0)
+    # inactive lanes keep the sentinel row: predicate every test on act
+    # (sentinel/pad rows also self-reject via det/den == 0)
+    pred = jnp.broadcast_to(act[None, :], (mtblock, tile))
+
+    def body(i, bst):
+        r0 = i * mtblock
+        tb = tris_ref[pl.ds(r0, mtblock), :]
+        row_ids = (r0 + iota_b).astype(jnp.float32)
+        return _hit8(tb, pred, dxyz, oxyz, t_min, bst, row_ids,
+                     tritest=tritest, latch=latch, with_orig=with_orig)
+
+    best = jax.lax.fori_loop(0, nblocks, body, best)
+    out_ref[0, :] = best[0]
+    out_ref[1, :] = best[1]
+    if with_orig:
+        out_ref[2, :] = best[2]
+    for k in range(3 if with_orig else 2, 8):
+        out_ref[k, :] = zeros
+
+
+def intersect_bvh_sweep(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    lay: BVHLayout,
+    t_min: float = 0.0,
+    active=None,
+    tile: int = 6144,
+    t_max=None,
+    resolve: bool = True,
+    mtblock: int = 56,
+    latch: str = "argmin",
+    tritest: str = "bw",
+    raw: bool = False,
+    gather: str = "rows",
+    with_orig: bool = False,
+) -> HitShade:
+    """Navigation-free dense sweep: o/d (3, N) rays -> HitShade.
+
+    Same hit semantics as :func:`intersect_bvh_window` (identical
+    ``_hit8`` tests over the same rows, best-t latch with lowest-row
+    tie-break == the walk's DFS-order strict-< latch); only the order in
+    which rows are *considered* differs, which the latch makes irrelevant.
+    """
+    n = o.shape[1]
+    pad = (-n) % tile
+    act = (jnp.ones((n,), jnp.float32) if active is None
+           else active.astype(jnp.float32))
+    if t_max is None:
+        t_max_arr = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        t_max_arr = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    rays = jnp.concatenate([o, d, act[None], t_max_arr[None]], axis=0)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    total = n + pad
+
+    tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
+    # cover the real rows + sentinel; pad rows self-reject (den/det == 0)
+    nblocks = -(-(lay.num_tris + 1) // mtblock)
+    assert nblocks * mtblock <= tris_tab.shape[0], "mtblock overruns pad rows"
+    kernel = functools.partial(
+        _sweep_kernel,
+        num_tris=lay.num_tris,
+        nblocks=nblocks,
+        t_min=t_min,
+        mtblock=mtblock,
+        latch=latch,
+        tritest=tritest,
+        anchor=lay.anchor,
+        with_orig=with_orig,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(total // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, total), jnp.float32),
+    )(rays, tris_tab)
+    if raw:
+        return out[:, :n], t_max_arr
+    return resolve_window_payload(lay, out[:, :n], t_max_arr, o, d,
+                                  resolve=resolve, gather=gather)
+
+
+def _block_interleave(a: jnp.ndarray, b: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Interleave two (..., N) arrays into (..., 2N), alternating
+    ``block``-lane chunks (a[0:B], b[0:B], a[B:2B], ...).  ``block`` must
+    divide N."""
+    n = a.shape[-1]
+    nb = n // block
+    stacked = jnp.stack(
+        [a.reshape(a.shape[:-1] + (nb, block)),
+         b.reshape(b.shape[:-1] + (nb, block))],
+        axis=-2,
+    )
+    return stacked.reshape(a.shape[:-1] + (2 * n,))
+
+
+def _block_deinterleave(x: jnp.ndarray, block: int):
+    """Inverse of :func:`_block_interleave`: (..., 2N) -> two (..., N)."""
+    n2 = x.shape[-1]
+    nb = n2 // (2 * block)
+    r = x.reshape(x.shape[:-1] + (nb, 2, block))
+    a = r[..., 0, :].reshape(x.shape[:-1] + (n2 // 2,))
+    b = r[..., 1, :].reshape(x.shape[:-1] + (n2 // 2,))
+    return a, b
+
+
 def make_pallas_intersector(
     lay: BVHLayout,
     lay_occl: BVHLayout | None = None,
@@ -1084,6 +1314,8 @@ def make_pallas_intersector(
     eps: float = 1e-4,
     gather: str = "rows",
     hbm: bool = False,
+    sweep_tile: int = 6144,
+    sweep_mtblock: int = 56,
 ):
     """Build the production intersection callable.
 
@@ -1120,12 +1352,19 @@ def make_pallas_intersector(
                 o, d, occl, t_min=t_min, active=active, tile=occlusion_tile,
                 t_max=t_max, resolve=False, prepass=0,
             )
-        if kernel == "window" or hbm:
+        if kernel in ("window", "sweep") or hbm:
             if coherent:
                 return intersect_bvh_window(
                     o, d, lay, t_min=t_min, active=active, tile=tile,
                     prepass=prepass, chain=chain, mtblock=mtblock,
                     tritest=tritest, gather=gather, hbm=hbm,
+                )
+            if kernel == "sweep" and not hbm:
+                # incoherent wavefronts only: their tile unions approach the
+                # whole tree, so navigation buys nothing (module comment)
+                return intersect_bvh_sweep(
+                    o, d, lay, t_min=t_min, active=active, tile=sweep_tile,
+                    mtblock=sweep_mtblock, tritest=tritest, gather=gather,
                 )
             return intersect_bvh_window(
                 o, d, lay, t_min=t_min, active=active, tile=secondary_tile,
@@ -1136,6 +1375,59 @@ def make_pallas_intersector(
         return intersect_bvh_pallas(
             o, d, lay, t_min=t_min, active=active, tile=tile, prepass=prepass,
         )
+
+    def fused(o, d, alive, sdir, sok, scap, target):
+        """ONE 2N-lane walk serving the path nearest-hit AND the NEE
+        occlusion query departing the same hit points (cfg.fuse_shadow_walk).
+
+        Path/shadow lanes interleave at half-tile blocks, so every traversal
+        tile holds a sorted run of path lanes plus their own shadow lanes —
+        near-identical tile unions, paid once.  Shadow lanes seed best_t
+        with their range cap; visibility resolves gather-free from the
+        kernel-latched original tri id (the reference's nearest-hit-must-be-
+        target check, renderer/Shaders.metal:214-231).  Returns
+        (HitShade for the path lanes, (N,) bool ``clear``).
+        """
+        n = o.shape[1]
+        block = max(secondary_tile // 2, 1)
+        while block > 1 and n % block:
+            block //= 2
+        inf = jnp.full((n,), jnp.inf, jnp.float32)
+        scapf = jnp.broadcast_to(scap, (n,)).astype(jnp.float32)
+        o2 = _block_interleave(o, o, block)
+        d2 = _block_interleave(d, sdir, block)
+        act2 = _block_interleave(
+            alive.astype(jnp.float32), sok.astype(jnp.float32), block
+        )
+        cap2 = _block_interleave(inf, scapf, block)
+        if kernel == "sweep" and not hbm:
+            raw_out, _ = intersect_bvh_sweep(
+                o2, d2, lay, t_min=t_min, active=act2, tile=sweep_tile,
+                t_max=cap2, mtblock=sweep_mtblock, tritest=tritest,
+                raw=True, with_orig=True,
+            )
+        else:
+            raw_out, _ = intersect_bvh_window(
+                o2, d2, lay, t_min=t_min, active=act2, tile=secondary_tile,
+                t_max=cap2, raw=True, prepass=prepass, chain=secondary_chain,
+                window=secondary_window, mtblock=secondary_mtblock,
+                tritest=tritest, hbm=hbm, with_orig=True,
+            )
+        outp, outs = _block_deinterleave(raw_out, block)
+        hit = resolve_window_payload(
+            lay, outp, inf, o, d, resolve=True, gather=gather
+        )
+        ts = outs[0]
+        origs = outs[2]
+        s_hit = ts < scapf  # latched a nearest hit inside the range cap
+        clear = sok & jnp.where(
+            target >= 0,
+            s_hit & (ts >= eps) & (origs == target.astype(jnp.float32)),
+            jnp.logical_not(s_hit),
+        )
+        return hit, clear
+
+    fn.fused = fused
 
     if anyhit and not hbm:
         def occlusion(o, d, active, t_max, target):

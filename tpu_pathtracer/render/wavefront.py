@@ -413,6 +413,8 @@ def make_intersector(scene: Scene, cfg: RenderConfig, lay=None,
             eps=cfg.distance_epsilon,
             gather=cfg.resolve_gather,
             hbm=hbm,
+            sweep_tile=cfg.sweep_tile,
+            sweep_mtblock=cfg.sweep_mtblock,
         )
     from ..ops.traverse import make_bvh_intersector
 
@@ -443,6 +445,7 @@ def trace_bounce(
     with_stats: bool = False,
     coherent: bool = False,
     defer_shadow: bool = False,
+    hit: HitShade | None = None,
 ):
     """One wavefront stage group: intersect + shade/NEE + shadow + resolve.
 
@@ -453,11 +456,15 @@ def trace_bounce(
     :class:`ShadowPack` instead of being traced here — it rides the next
     bounce's wavefront sort (one lax.sort serves both, saving the ~40 ms
     sort network per bounce) and resolves in :func:`resolve_shadow`.
+    ``hit`` supplies a precomputed nearest-hit record (the fused
+    path+shadow walk, cfg.fuse_shadow_walk) instead of tracing here.
     """
     eps = cfg.distance_epsilon
     aeps = cfg.angle_epsilon
 
-    hit = intersect(state.origin, state.direction, state.alive, coherent=coherent)
+    if hit is None:
+        hit = intersect(state.origin, state.direction, state.alive,
+                        coherent=coherent)
     # A hit nearer than DISTANCE_EPSILON (or a miss) kills the path
     # (reference: renderer/Shaders.metal:122-126 — note the nearest hit is NOT
     # skipped in favor of the next one; the whole path dies).
@@ -873,14 +880,14 @@ def render_sample(
         )
         winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
 
-    def shade(b, st, coherent=False):
+    def shade(b, st, coherent=False, hit=None):
         uniforms = bounce_uniforms(
             cfg, key, frame_index, b, st.pixel, full_height, full_width,
             with_env=scene.env is not None,
         )
         return trace_bounce(
             scene, cfg, intersect, b, st, uniforms, coherent=coherent,
-            defer_shadow=do_sort, with_stats=with_ray_count,
+            defer_shadow=do_sort, with_stats=with_ray_count, hit=hit,
         )
 
     def _nrays(stats):
@@ -896,10 +903,39 @@ def render_sample(
         state, pack = out0[0], out0[1]
         nrays = _nrays(out0[2]) if with_ray_count else jnp.float32(0)
 
+        fused = (getattr(intersect, "fused", None)
+                 if cfg.fuse_shadow_walk else None)
+        if cfg.fuse_shadow_walk and fused is None:
+            import warnings
+
+            warnings.warn(
+                "fuse_shadow_walk requested but the active intersection "
+                "backend has no fused walk (Pallas window kernel only); "
+                "tracing the occlusion query separately",
+                RuntimeWarning, stacklevel=2,
+            )
+
         def stage(b, st, pk):
-            """resolve previous NEE pack + shade one bounce (any lane width)."""
-            st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
-            out = shade(b, st)
+            """resolve previous NEE pack + shade one bounce (any lane width).
+
+            With the fused walk (cfg.fuse_shadow_walk) the pack's occlusion
+            query and the bounce's nearest-hit trace share ONE 2N-lane
+            kernel invocation — the reference's two per-bounce
+            encodeIntersectionToCommandBuffer calls
+            (renderer/Renderer.mm:519-523,545-553), collapsed."""
+            if fused is not None:
+                hit, clear = fused(
+                    st.origin, st.direction, st.alive, pk.to_light, pk.ok,
+                    pk.cap, pk.target.astype(jnp.int32),
+                )
+                st = st._replace(
+                    radiance=st.radiance
+                    + jnp.where(clear[None], pk.contrib, 0.0)
+                )
+                out = shade(b, st, hit=hit)
+            else:
+                st = resolve_shadow(intersect, st, pk, cfg.distance_epsilon)
+                out = shade(b, st)
             nr = _nrays(out[2]) if with_ray_count else jnp.float32(0)
             return out[0], out[1], nr
 
