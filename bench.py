@@ -132,6 +132,20 @@ def main() -> None:
                     default=None,
                     help="A/B cfg.cull_zero_nee (skip occlusion walks for "
                          "shadow rays with exactly-zero NEE contribution)")
+    ap.add_argument("--fuse-shadow", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="A/B cfg.fuse_shadow_walk (one 2N-lane walk per "
+                         "bounce serving the path nearest-hit AND the NEE "
+                         "occlusion query)")
+    ap.add_argument("--kernel", choices=("window", "minwalk", "sweep"),
+                    default=None,
+                    help="override cfg.traversal_kernel (sweep = the "
+                         "navigation-free dense march for secondary bounces)")
+    ap.add_argument("--utilization", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="emit the kernel-measured walk-utilization block "
+                         "(spent/useful lane-ops per ray, VPU-peak estimate; "
+                         "costs one extra counting-kernel compile)")
     ap.add_argument("--mesh", default=None, metavar="TILESxSPP",
                     help="multi-chip aggregate bench: shard the frame over a "
                          "('tiles','spp') device mesh (e.g. 4x2) and report "
@@ -160,6 +174,10 @@ def main() -> None:
         over["sort_bounce_skip"] = args.sort_skip
     if args.cull_zero_nee is not None:
         over["cull_zero_nee"] = args.cull_zero_nee
+    if args.fuse_shadow is not None:
+        over["fuse_shadow_walk"] = args.fuse_shadow
+    if args.kernel is not None:
+        over["traversal_kernel"] = args.kernel
     if args.fuse is not None:
         over["fuse_samples"] = args.fuse
     cfg = RenderConfig(
@@ -200,10 +218,12 @@ def main() -> None:
     from tpu_pathtracer.render.stats import count_traced_rays_exact
 
     measured = tuple(range(args.warmup, args.warmup + args.frames))
+    t_tr = time.perf_counter()
     traced = count_traced_rays_exact(
         r.scene, cfg, args.height, args.width,
         frame_indices=measured, intersect=r._intersect, seed=0,
     )
+    traced_count_s = time.perf_counter() - t_tr
     honest_mrays = traced / frame_time / 1e6
 
     img = r.image()
@@ -231,6 +251,28 @@ def main() -> None:
         "finite": bool(np.isfinite(img).all()),
         "image_mean": round(float(img.mean()), 5),
     }
+
+    # kernel-measured walk-utilization telemetry (VERDICT r4 #5): the
+    # structural gap to the north star is lane-op waste, so the bench emits
+    # it machine-checkably instead of leaving it in ROADMAP prose.
+    if (args.utilization and mesh is None and r.layout is not None
+            and jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+            and cfg.use_pallas):
+        try:
+            from tpu_pathtracer.render.stats import utilization_report
+
+            t_ut = time.perf_counter()
+            result["utilization"] = utilization_report(
+                r.scene, cfg, r.layout, args.height, args.width,
+                r._intersect, traced, frame_time,
+            )
+            result["utilization"]["collect_s"] = round(
+                time.perf_counter() - t_ut, 1)
+        except Exception as e:  # noqa: BLE001 — telemetry must not kill the bench
+            result["utilization"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
+    result["traced_count_s"] = round(traced_count_s, 1)
 
     if args.progressive:
         rc = Renderer("cornellbox", width=args.width, height=args.height,

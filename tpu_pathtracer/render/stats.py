@@ -134,3 +134,152 @@ def count_traced_rays_exact(
     key = jax.random.PRNGKey(seed)
     counts = [float(one_frame(key, jnp.int32(f))) for f in frame_indices]
     return sum(counts) / len(counts)
+
+
+def first_secondary_wavefront(
+    scene: Scene,
+    cfg: RenderConfig,
+    height: int,
+    width: int,
+    intersect=None,
+    camera: Camera | None = None,
+    seed: int = 0,
+    frame_index: int = 0,
+):
+    """Reconstruct the frame's FIRST secondary wavefront — the bounce-1 path
+    rays plus their deferred NEE shadow pack, sorted exactly as the
+    production loop sorts them (render/wavefront.py:render_sample).  This is
+    the canonical incoherent workload the traversal tuning targets; the
+    utilization telemetry (bench.py) measures its lane-op economics.
+
+    The sort runs under the "gather" lowering — bit-identical lane order to
+    the production variadic sort (lax.sort is stable) without its ~8-minute
+    TPU compile.
+    """
+    from ..render.state import frame_rng_key, fused_wavefront_key
+    from ..render.wavefront import (
+        initial_path_state,
+        make_brute_intersector,
+        sort_wavefront,
+        trace_bounce,
+    )
+
+    camera = camera or Camera.reference_default()
+    if intersect is None:
+        intersect = make_brute_intersector(scene)
+    fi = jnp.int32(frame_index)
+    wkey = fused_wavefront_key(frame_rng_key(cfg, jax.random.PRNGKey(seed), fi))
+
+    tile = (cfg.traversal_tile
+            if cfg.intersector == "bvh" and cfg.use_pallas else None)
+    order = make_order(height, width, 0, tile)
+    pids = pids_from_order(order, width)
+    cam_key = jax.random.fold_in(wkey, 0xC0FFEE)
+    jitter = camera_jitter(cfg, cam_key, fi, pids, height, width)
+    origins, directions = generate_rays_flat(
+        camera, order.rows, order.cols, jitter[0:2], height, width,
+        lens_u=jitter[2:4],
+    )
+    state = initial_path_state(origins, directions, cfg.spectrum_samples, pids)
+    uniforms = bounce_uniforms(
+        cfg, wkey, fi, jnp.int32(0), pids, height, width,
+        with_env=scene.env is not None,
+    )
+    state, pack = trace_bounce(
+        scene, cfg, intersect, jnp.int32(0), state, uniforms,
+        coherent=True, defer_shadow=True,
+    )
+    wmin = tuple(
+        jnp.min(jnp.minimum(jnp.minimum(scene.p0[a], scene.p1[a]), scene.p2[a]))
+        for a in range(3)
+    )
+    wmax = tuple(
+        jnp.max(jnp.maximum(jnp.maximum(scene.p0[a], scene.p1[a]), scene.p2[a]))
+        for a in range(3)
+    )
+    winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
+    return sort_wavefront(state, wmin, winv, pack, lowering="gather")
+
+
+def walk_lane_ops(lay, cfg: RenderConfig, o, d, active, t_max=None):
+    """Kernel-measured lane-op accounting for one window walk over (o, d):
+    returns (spent, useful, live_rays).
+
+    ``spent``  = triangle-row tests paid, summed over every lane of every
+                 tile (each tested row costs the full tile width — the
+                 block-granularity waste the ROADMAP calls out);
+    ``useful`` = row tests whose owning-leaf predicate was true for that
+                 lane (the demand actually served).
+    Box/navigation lane-ops are excluded (measured ~10% of the walk).
+    """
+    from ..ops.pallas_traverse import intersect_bvh_window
+
+    raw, _ = intersect_bvh_window(
+        o, d, lay, active=active, t_max=t_max, tile=cfg.secondary_tile,
+        prepass=cfg.traversal_prepass, chain=cfg.secondary_chain,
+        window=cfg.secondary_window, mtblock=cfg.secondary_mtblock,
+        tritest=cfg.tritest, raw=True, with_counts=True,
+    )
+    spent = float(jnp.sum(raw[6]))
+    useful = float(jnp.sum(raw[7]))
+    live = float(jnp.sum(active.astype(jnp.float32)))
+    return spent, useful, live
+
+
+# v5e VPU peak, f32 lane-ops/s: 4 (8, 128) vector ALUs at ~0.94 GHz.
+VPU_PEAK_LANE_OPS = 4 * 8 * 128 * 0.94e9
+# vector ops per triangle-row test (plane evals + accept + latch amortized):
+# Baldwin-Weber ~14, Moller-Trumbore ~17 (ops/pallas_traverse.py:_hit8).
+OPS_PER_ROW_TEST = {"bw": 14.0, "mt": 17.0}
+
+
+def utilization_report(
+    scene: Scene,
+    cfg: RenderConfig,
+    lay,
+    height: int,
+    width: int,
+    intersect,
+    traced_per_frame: float,
+    frame_time_s: float,
+    spectrum_planes: int | None = None,
+) -> dict:
+    """Machine-checkable walk-utilization block for the bench JSON.
+
+    Lane-op numbers are MEASURED in-kernel (walk_lane_ops) on the frame's
+    first secondary wavefront — path rays and their NEE shadow queries, the
+    workload that dominates the frame (r4 ablation: traversal+resolve = 81%).
+    ``est_frame_*`` scale the per-ray economics by the exact traced-ray
+    count; ``est_vpu_peak_pct`` divides the implied vector-op rate by the
+    VPU peak.  ``est_hbm_gb_per_s`` is a MODEL, not a measurement: per-bounce
+    full-width wavefront traffic (sort read+write of every payload plane +
+    the resolve row gather), a lower bound that ignores ladder width cuts
+    and kernel-internal traffic.
+    """
+    st, pk = first_secondary_wavefront(
+        scene, cfg, height, width, intersect=intersect)
+    sp_p, us_p, live_p = walk_lane_ops(
+        lay, cfg, st.origin, st.direction, st.alive)
+    sp_s, us_s, live_s = walk_lane_ops(
+        lay, cfg, st.origin, pk.to_light, pk.ok, t_max=pk.cap)
+    spent, useful = sp_p + sp_s, us_p + us_s
+    rays = max(live_p + live_s, 1.0)
+    ops_row = OPS_PER_ROW_TEST[cfg.tritest]
+    spent_per_ray = spent / rays
+    est_frame_ops = spent_per_ray * traced_per_frame * ops_row
+    n_lanes = height * width
+    s = cfg.spectrum_samples if spectrum_planes is None else spectrum_planes
+    planes = 13 + 3 * s + 2  # sort_wavefront's shadow-carrying operand count
+    sort_bytes = planes * n_lanes * 4 * 2 * max(cfg.max_path_length - 1, 0)
+    gather_bytes = (lay.tris.shape[1] * 4 + 8) * n_lanes * cfg.max_path_length
+    return {
+        "wavefront": "bounce-1 sorted secondary (path + NEE shadow)",
+        "live_rays": int(rays),
+        "spent_lane_ops_per_ray": round(spent_per_ray, 1),
+        "useful_lane_ops_per_ray": round(useful / rays, 1),
+        "mt_lane_utilization": round(useful / max(spent, 1.0), 4),
+        "est_vpu_peak_pct": round(
+            100.0 * est_frame_ops / frame_time_s / VPU_PEAK_LANE_OPS, 4),
+        "est_hbm_gb_per_s_model": round(
+            (sort_bytes + gather_bytes) / frame_time_s / 1e9, 2),
+    }
