@@ -61,15 +61,19 @@ def test_deterministic_given_seed():
     np.testing.assert_array_equal(a, b)
 
 
-# ---- Water-variant gates ---------------------------------------------------
-# The Mitsuba XMLs for the Water scenes use *different materials* than the
-# reference's MTL channel hack (docs/PARITY.md, ARCHITECTURE.md validation
-# table), so these goldens bound the render rather than match it.  The
-# renders are deterministic (counter-based RNG), so the bounds are executable
-# regression gates around the measured values, not statistical tolerances.
+# ---- Water-variant SANITY BANDS ---------------------------------------------
+# The committed Mitsuba goldens for the Water scenes were rendered with
+# material tables matching neither the MTLs nor the in-repo XMLs: rendering
+# with the XMLs' own materials measures FARTHER from the goldens (water
+# mean_ratio 0.65-0.82, plastic 1.40) than the MTL decode does (1.045 /
+# 1.17) — scripts/mitsuba_parity_probe.py, docs/PARITY.md "Known deltas".
+# With Mitsuba unavailable to re-derive goldens, these tests are SANITY
+# BANDS around measured values (deterministic renders, so executable
+# regression gates — not estimator-parity claims); exactness for these
+# scenes is pinned by the brute-force self-goldens below.
 
 @pytest.mark.slow
-def test_water_plastic_bounded_by_golden():
+def test_water_plastic_golden_sanity_band():
     # measured rel_mse 0.092, mean_ratio 1.169 (materials differ in golden)
     img = _render("CornellBox-Water-plastic", 2, spp=16)
     m = metrics(img, _golden("CornellBox-Water-plastic", 2))
@@ -79,7 +83,7 @@ def test_water_plastic_bounded_by_golden():
 
 
 @pytest.mark.slow
-def test_water_depth8_matches_golden():
+def test_water_depth8_golden_sanity_band():
     # the non-refracting dielectric still lands close on this golden:
     # measured rel_mse 0.090, mean_ratio 1.045 at 8 spp
     img = _render("CornellBox-Water", 8, spp=8)
@@ -106,7 +110,43 @@ def test_water_mirror_energy_split(quirks, lo, hi):
     m = metrics(img, _golden("CornellBox-Water-mirror", 3))
     assert np.isfinite(img).all()
     assert lo < m["mean_ratio"] < hi, m
-    assert m["rel_mse"] < 0.75, m
+    # tightened from 0.75 after the parity probe measured 0.29 at spp48
+    # quirks-off; at this test's spp16 the mirror-caustic variance pushes
+    # rel_mse past 0.4, so the band stays noise-dominated (a sanity gate,
+    # not estimator parity — see module comment)
+    assert m["rel_mse"] < 0.60, m
+
+
+@pytest.mark.slow
+def test_water_plastic_xml_materials_match_mitsuba():
+    """TIGHT independent-renderer gate: rendering with the golden's OWN
+    material table — the XML's diffuse left sphere, plastic 1.76 right
+    sphere, plastic 1.333 water, each at Mitsuba's default
+    diffuseReflectance 0.5 (assets/reference/CornellBox-Water-plastic.xml)
+    — reproduces the Mitsuba golden at rel_mse 0.0068 / mean_ratio 1.009
+    (scripts/mitsuba_parity_probe.py, Aug 20).  This recovers the material
+    table the golden was actually rendered with (neither the MTL decode,
+    ratio 1.17, nor the XML at full albedo, 1.40, comes close) and checks
+    our estimator against Mitsuba with matched materials."""
+    import jax.numpy as jnp
+
+    scene = load_scene(scene_path("CornellBox-Water-plastic"))
+    mt = np.asarray(scene.mat_type).copy()
+    mi = np.asarray(scene.mat_ior).copy()
+    md = np.asarray(scene.mat_diffuse).copy()
+    # material ids from models/bsdf.py: 0 diffuse, 2 smooth plastic
+    mt[0], mi[0] = 0, 0.0              # leftSphere: MTL plastic1.5 -> diffuse
+    mt[1], mi[1], md[:, 1] = 2, 1.76, 0.5   # rightSphere: mirror -> plastic
+    mt[8], mi[8], md[:, 8] = 2, 1.333, 0.5  # water: plastic albedo 1 -> 0.5
+    scene = scene._replace(mat_type=jnp.asarray(mt), mat_ior=jnp.asarray(mi),
+                           mat_diffuse=jnp.asarray(md))
+    cfg = RenderConfig(samples_per_frame=48, max_path_length=2)
+    state = init_state(H, W)
+    img = np.asarray(render_frame_jit(state, scene, cfg).accum)
+    m = metrics(img, _golden("CornellBox-Water-plastic", 2))
+    assert np.isfinite(img).all()
+    assert m["rel_mse"] < 0.02, m
+    assert 0.98 < m["mean_ratio"] < 1.04, m
 
 
 # ---- Self-golden exact gates (BVH path vs committed brute-force renders) ----
