@@ -962,7 +962,7 @@ def intersect_bvh_window(
     (row 2 = original tri id when ``with_orig``; rows 6/7 = tested/useful
     lane-op counters when ``with_counts`` — utilization telemetry).
 
-    ``hbm`` keeps the triangle table in HBM (``pltpu.ANY``) and streams
+    ``hbm`` keeps the triangle table in HBM (``pl.ANY``) and streams
     demanded MT blocks through double-buffered VMEM scratch — the
     production-scale mode for scenes past the VMEM table budget (the node
     tables, ~48 B/node, stay VMEM-resident to ~10M+ triangles).
@@ -1013,7 +1013,7 @@ def intersect_bvh_window(
         pl.BlockSpec((8, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY if hbm else pltpu.VMEM),
     ]
     inputs = [rays, lay.nodes8, lay.meta4, tris_tab]
     if prepass:
