@@ -559,6 +559,23 @@ def test_pallas_sweep_matches_window(scene_and_layout):
                 np.asarray(hs.tri), np.asarray(hs2.tri))
 
 
+def test_pallas_sweep_fat_block_overruns_pad(scene_and_layout):
+    """A sweep mtblock bigger than the layout's +72 pad rows must extend the
+    table with self-rejecting zero rows, not crash (cornellbox T8 = 112;
+    mtblock 120 overruns by 8) — and produce identical hits."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_pathtracer.ops import pallas_traverse as pt
+
+    scene, lay = scene_and_layout
+    o, d = _random_rays(256, key=61)
+    with pltpu.force_tpu_interpret_mode():
+        a = pt.intersect_bvh_sweep(o, d, lay, tile=128, mtblock=16)
+        b = pt.intersect_bvh_sweep(o, d, lay, tile=128, mtblock=120)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+
+
 def test_window_with_orig(scene_and_layout):
     """with_orig: raw row 2 carries the winner's ORIGINAL triangle id
     (match against the resolved HitShade.tri; -1 on misses)."""

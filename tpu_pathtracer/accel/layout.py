@@ -265,7 +265,9 @@ def dfs_layout(
         anchor = np.zeros(3, np.float32)
 
     def bw_rows(tri_rows: np.ndarray, leaf_col: np.ndarray) -> np.ndarray:
-        """(R, 24) MT rows -> (R, 16) BW rows [n0 d0 n1 d1 n2 d2 leaf pad3].
+        """(R, 24) MT rows -> (R, 16) BW rows [n0 d0 n1 d1 n2 d2 leaf orig pad2]
+        (col 13 = ORIGINAL triangle id — read by _hit8's with_orig latch for
+        the fused walk's gather-free occlusion-target check; do not reuse).
 
         Degenerate rows (zero normal) produce all-zero planes: den == 0 is
         the kernel's reject test, exactly like det == 0 in MT.

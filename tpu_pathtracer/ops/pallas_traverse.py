@@ -1240,9 +1240,16 @@ def intersect_bvh_sweep(
     total = n + pad
 
     tris_tab = lay.tris8 if tritest == "mt" else lay.tris8bw
-    # cover the real rows + sentinel; pad rows self-reject (den/det == 0)
+    # cover the real rows + sentinel; pad rows self-reject (den/det == 0).
+    # The layout's +72 pad rows are sized for the window kernel's fetches,
+    # so a fat mtblock can overrun them on unlucky scene sizes — extend with
+    # zero rows (which also self-reject) instead of asserting.
     nblocks = -(-(lay.num_tris + 1) // mtblock)
-    assert nblocks * mtblock <= tris_tab.shape[0], "mtblock overruns pad rows"
+    overrun = nblocks * mtblock - tris_tab.shape[0]
+    if overrun > 0:
+        tris_tab = jnp.concatenate(
+            [tris_tab, jnp.zeros((overrun, tris_tab.shape[1]),
+                                 tris_tab.dtype)], axis=0)
     kernel = functools.partial(
         _sweep_kernel,
         num_tris=lay.num_tris,

@@ -160,6 +160,7 @@ def first_secondary_wavefront(
     from ..render.wavefront import (
         initial_path_state,
         make_brute_intersector,
+        scene_sort_bounds,
         sort_wavefront,
         trace_bounce,
     )
@@ -189,15 +190,7 @@ def first_secondary_wavefront(
         scene, cfg, intersect, jnp.int32(0), state, uniforms,
         coherent=True, defer_shadow=True,
     )
-    wmin = tuple(
-        jnp.min(jnp.minimum(jnp.minimum(scene.p0[a], scene.p1[a]), scene.p2[a]))
-        for a in range(3)
-    )
-    wmax = tuple(
-        jnp.max(jnp.maximum(jnp.maximum(scene.p0[a], scene.p1[a]), scene.p2[a]))
-        for a in range(3)
-    )
-    winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
+    wmin, winv = scene_sort_bounds(scene)
     return sort_wavefront(state, wmin, winv, pack, lowering="gather")
 
 
@@ -255,7 +248,23 @@ def utilization_report(
     full-width wavefront traffic (sort read+write of every payload plane +
     the resolve row gather), a lower bound that ignores ladder width cuts
     and kernel-internal traffic.
+
+    Honesty limits, stated in the emitted block itself:
+    * the probe wavefront is ONE 1-spp wavefront; with fused samples the
+      production lane density is higher and per-ray economics improve
+      ~30%/2x (r4c curve), so a ``density_caveat`` field flags spp > 1
+      (the HBM byte model DOES scale by spp: total lanes per frame).
+    * shadow lanes are priced under the secondary WINDOW kernel on the
+      nearest-hit layout; production occlusion runs the cheaper v1 kernel
+      on the leaf8 layout (no count instrumentation), so the combined
+      spent/ray OVERSTATES the shadow share — ``shadow_pricing`` says so.
+    * only the window kernel is instrumented; other traversal_kernel
+      values raise (bench catches and degrades to an error field).
     """
+    if cfg.traversal_kernel != "window":
+        raise NotImplementedError(
+            "utilization telemetry instruments the window kernel only; "
+            f"traversal_kernel={cfg.traversal_kernel!r} walks are unpriced")
     st, pk = first_secondary_wavefront(
         scene, cfg, height, width, intersect=intersect)
     sp_p, us_p, live_p = walk_lane_ops(
@@ -267,12 +276,13 @@ def utilization_report(
     ops_row = OPS_PER_ROW_TEST[cfg.tritest]
     spent_per_ray = spent / rays
     est_frame_ops = spent_per_ray * traced_per_frame * ops_row
-    n_lanes = height * width
+    # total wavefront lanes PER FRAME across all fused/sequential samples
+    n_lanes = height * width * cfg.samples_per_frame
     s = cfg.spectrum_samples if spectrum_planes is None else spectrum_planes
     planes = 13 + 3 * s + 2  # sort_wavefront's shadow-carrying operand count
     sort_bytes = planes * n_lanes * 4 * 2 * max(cfg.max_path_length - 1, 0)
     gather_bytes = (lay.tris.shape[1] * 4 + 8) * n_lanes * cfg.max_path_length
-    return {
+    out = {
         "wavefront": "bounce-1 sorted secondary (path + NEE shadow)",
         "live_rays": int(rays),
         "spent_lane_ops_per_ray": round(spent_per_ray, 1),
@@ -282,4 +292,12 @@ def utilization_report(
             100.0 * est_frame_ops / frame_time_s / VPU_PEAK_LANE_OPS, 4),
         "est_hbm_gb_per_s_model": round(
             (sort_bytes + gather_bytes) / frame_time_s / 1e9, 2),
+        "shadow_pricing": "window kernel on the nearest-hit layout "
+                          "(production occlusion uses the cheaper v1 leaf8 "
+                          "path — combined spent/ray is an upper bound)",
     }
+    if cfg.samples_per_frame > 1:
+        out["density_caveat"] = (
+            "per-ray economics measured at 1-spp lane density; fused "
+            "production wavefronts are denser and cheaper per ray")
+    return out

@@ -201,6 +201,23 @@ def _sorted_planes(key, pixel, planes, lowering):
     return jax.lax.sort((key, pixel, *planes), num_keys=2)
 
 
+def scene_sort_bounds(scene: Scene):
+    """Scene-AABB (wmin, winv) for the wavefront sort key's spatial cell —
+    the single source shared by render_sample and the telemetry's
+    production-order wavefront reconstruction (render/stats.py), so the
+    sort-key quantization can never silently diverge between them."""
+    wmin = tuple(
+        jnp.min(jnp.minimum(jnp.minimum(scene.p0[a], scene.p1[a]), scene.p2[a]))
+        for a in range(3)
+    )
+    wmax = tuple(
+        jnp.max(jnp.maximum(jnp.maximum(scene.p0[a], scene.p1[a]), scene.p2[a]))
+        for a in range(3)
+    )
+    winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
+    return wmin, winv
+
+
 def sort_wavefront(state: PathState, wmin, winv, pack: ShadowPack | None = None,
                    lowering: str = "variadic"):
     """Re-order the whole wavefront by :func:`ray_sort_key` in ONE lax.sort
@@ -870,15 +887,7 @@ def render_sample(
     do_sort = cfg.sort_rays and pallas_path
     if do_sort:
         # scene bounds for the sort key's spatial cell
-        wmin = tuple(
-            jnp.min(jnp.minimum(jnp.minimum(scene.p0[a], scene.p1[a]), scene.p2[a]))
-            for a in range(3)
-        )
-        wmax = tuple(
-            jnp.max(jnp.maximum(jnp.maximum(scene.p0[a], scene.p1[a]), scene.p2[a]))
-            for a in range(3)
-        )
-        winv = tuple(1.0 / jnp.maximum(wmax[a] - wmin[a], 1e-6) for a in range(3))
+        wmin, winv = scene_sort_bounds(scene)
 
     def shade(b, st, coherent=False, hit=None):
         uniforms = bounce_uniforms(
