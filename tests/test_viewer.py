@@ -12,7 +12,9 @@ from tpu_pathtracer.viewer import ViewerServer
 
 
 def _get(port, path):
-    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+    # 60 s, not 10: the first GET races the renderer's first-frame compile,
+    # and on a loaded box (full suite + concurrent tiers) 10 s flakes.
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
         return r.status, r.headers.get("Content-Type"), r.read()
 
 
